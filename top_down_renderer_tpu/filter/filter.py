@@ -1,0 +1,453 @@
+"""The particle filter: one fused, functional, jitted step.
+
+Capability port of ParticleFilter (/root/reference/src/particle_filter.cpp)
+with StateParticle scoring folded in.  Where the reference fans out with
+std::for_each(std::execution::par, ...) over shared_ptr particles guarded
+by mutexes (particle_filter.cpp:104-105, particle_filter.h:45,64), here the
+particle axis is a batched array dimension inside one compiled step - and
+the one axis you shard over an ICI mesh to scale out (see parallel/).
+
+Step structure (update(), parity with particle_filter.cpp:94-189 +
+state_particle.cpp:157-213):
+  score all rotations (MXU matmul) -> per-particle tracked / theta-search
+  cost selection -> weight = 1/(cost+reg) with force-on-map + scale-range
+  gates -> NaN repair to (mean - bottom_stddev) -> distance regularization
+  -> adaptive particle count from GMM ellipse areas -> systematic resample
+  -> (periodically) GMM refresh.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from top_down_renderer_tpu.config import FilterParams
+from top_down_renderer_tpu.core.grids import (
+    FilterState,
+    GMMState,
+    Particles,
+    SemanticMapGrid,
+)
+from top_down_renderer_tpu.filter import gmm as gmm_mod
+from top_down_renderer_tpu.filter import particles as particles_mod
+from top_down_renderer_tpu.filter import stats as stats_mod
+from top_down_renderer_tpu.filter.resample import systematic_resample
+from top_down_renderer_tpu.filter.scoring import (
+    rotation_shift,
+    score_all_rotations,
+    search_shifts,
+)
+
+FLT_MAX = float(np.finfo(np.float32).max)
+
+
+def compute_weights(
+    costs_all: jnp.ndarray,
+    particles: Particles,
+    params: FilterParams,
+    map_size_scaled: jnp.ndarray,
+    theta_bins: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Select per-particle cost (tracked rotation or 40-way search) and
+    convert to raw weights with the reference's gates.
+
+    Returns (weight_raw (N,), new_theta (N,), have_init (N,) all-True).
+
+    Parity: state_particle.cpp:157-213.  In the search branch, NaN costs
+    never beat FLT_MAX, so an all-unknown window yields best_cost=FLT_MAX
+    (weight ~ 0, not NaN) and best_theta=0 - quirk preserved.
+    """
+    n, th = costs_all.shape
+
+    # tracked: single rotation at the particle's theta (:208-210)
+    s_tracked = rotation_shift(particles.theta, theta_bins)
+    cost_tracked = jnp.take_along_axis(
+        costs_all, s_tracked[:, None], axis=1
+    )[:, 0]
+
+    # uninitialized: search num_rot rotations, adopt argmin (:195-206)
+    ssh = search_shifts(theta_bins, params.num_rot_search)
+    cost_search = costs_all[:, ssh]  # (N, num_rot)
+    cost_search = jnp.where(
+        jnp.isnan(cost_search), FLT_MAX, cost_search
+    )
+    # strict '<' argmin with ties to the first index, like the scan loop
+    k_best = jnp.argmin(cost_search, axis=1)
+    best_cost = jnp.min(cost_search, axis=1)
+    best_theta = k_best.astype(jnp.float32) * (
+        2.0 * math.pi / params.num_rot_search
+    )
+
+    have = particles.have_init
+    cost = jnp.where(have, cost_tracked, best_cost)
+    new_theta = jnp.where(have, particles.theta, best_theta)
+
+    weight = 1.0 / (cost + params.regularization)
+
+    # gates (state_particle.cpp:163-176): evaluated before scoring in the
+    # reference (early return weight=0)
+    center = particles.pose_px()
+    if params.force_on_map:
+        off = (
+            (center[:, 0] < 0)
+            | (center[:, 1] < 0)
+            | (center[:, 0] > map_size_scaled[0])
+            | (center[:, 1] > map_size_scaled[1])
+        )
+        weight = jnp.where(off, 0.0, weight)
+    if params.fixed_scale < 0:
+        bad_scale = (
+            particles.scale < 10.0**params.scale_log_min
+        ) | (particles.scale > 10.0**params.scale_log_max)
+        weight = jnp.where(bad_scale, 0.0, weight)
+
+    return weight, new_theta, jnp.ones_like(have)
+
+
+def postprocess_weights(
+    weight_raw: jnp.ndarray,
+    last_dist: jnp.ndarray,
+    alive: jnp.ndarray,
+    n_active: jnp.ndarray,
+) -> jnp.ndarray:
+    """NaN repair + normalization + distance-based regularization.
+
+    Parity: particle_filter.cpp:107-142.
+    """
+    isnan = jnp.isnan(weight_raw)
+    valid = alive & ~isnan
+    vf = valid.astype(jnp.float32)
+    total = jnp.sum(jnp.where(valid, weight_raw, 0.0))
+    num_valid = jnp.sum(vf)
+    mean = total / jnp.maximum(num_valid, 1.0)
+
+    under = valid & (weight_raw < mean)
+    num_under = jnp.sum(under.astype(jnp.float32))
+    bot_var = jnp.sum(
+        jnp.where(under, (weight_raw - mean) ** 2, 0.0)
+    ) / jnp.maximum(num_under, 1.0)
+    bottom_stddev = jnp.sqrt(bot_var)
+
+    degenerate = (total == 0) | (num_under < 1)
+    repaired = jnp.where(alive & isnan, mean - bottom_stddev, weight_raw)
+    w = jnp.where(degenerate, 1.0, repaired)
+    w = jnp.where(alive, w, 0.0)
+    w = w / jnp.sum(w)
+
+    # distance regularization toward uniform (:137-142)
+    d = jnp.minimum(last_dist * 5.0, 1.0)
+    na = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+    w = jnp.where(alive, d * w + (1.0 - d) / na, 0.0)
+    return w / jnp.sum(w)
+
+
+def make_update_step(
+    params: FilterParams,
+    grid_num_classes: int,
+    map_resolution: float,
+    theta_bins: int,
+    n_max: int,
+    k_max: int = 8,
+    gmm_every: int = 1,
+    chunk_size: int = 2048,
+):
+    """Build the jitted functional update step, specialized on static
+    config.  Returns update(state, packed_map, map_size_scaled, stencil,
+    scan, res) -> FilterState."""
+
+    cw = np.asarray(params.class_weights, dtype=np.float32)
+    if cw.size < grid_num_classes:
+        cw = np.concatenate(
+            [cw, np.ones(grid_num_classes - cw.size, np.float32)]
+        )
+    class_weights = jnp.asarray(cw[:grid_num_classes])
+
+    @jax.jit
+    def update(
+        state: FilterState,
+        packed_map: jnp.ndarray,
+        map_size_scaled: jnp.ndarray,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+    ) -> FilterState:
+        p = state.particles
+        costs_all, _kf = score_all_rotations(
+            packed_map,
+            stencil,
+            scan,
+            class_weights,
+            p.pose_px(),
+            p.scale,
+            res,
+            num_classes=grid_num_classes,
+            map_resolution=map_resolution,
+            chunk_size=chunk_size,
+        )
+        w_raw, new_theta, have_init = compute_weights(
+            costs_all, p, params, map_size_scaled, theta_bins
+        )
+        p = p.replace(theta=new_theta, have_init=have_init)
+        w = postprocess_weights(
+            w_raw, p.last_dist, p.alive, state.n_active
+        )
+        ml_index = jnp.argmax(w)
+
+        n_new = gmm_mod.adaptive_particle_count(
+            state.gmm, state.n_active, n_max
+        )
+
+        key, k_rs, k_gmm = jax.random.split(state.key, 3)
+        new_particles = systematic_resample(
+            p, w, n_new, state.n_active, k_rs
+        )
+
+        def do_gmm(_):
+            return gmm_mod.compute_gmm(
+                new_particles, n_new, state.gmm.k, k_gmm, k_max=k_max
+            )
+
+        new_gmm = jax.lax.cond(
+            state.step % gmm_every == 0,
+            do_gmm,
+            lambda _: state.gmm,
+            operand=None,
+        )
+
+        return state.replace(
+            particles=new_particles,
+            n_active=n_new,
+            ml_index=ml_index,
+            gmm=new_gmm,
+            key=key,
+            step=state.step + 1,
+        )
+
+    return update
+
+
+class ParticleFilter:
+    """Host-facing wrapper with the reference's ParticleFilter API
+    (particle_filter.h:24-41)."""
+
+    def __init__(
+        self,
+        n_max: int,
+        tdmap,  # maps.map.TopDownMap
+        params: FilterParams,
+        seed: int = 0,
+        theta_bins: int = 100,
+        gmm_every: int = 1,
+        chunk_size: int = 2048,
+    ):
+        # pad N to a chunk multiple (static-shape requirement)
+        chunk_size = min(chunk_size, n_max)
+        n_max = ((n_max + chunk_size - 1) // chunk_size) * chunk_size
+        self.n_max = n_max
+        self.map = tdmap
+        self.params = params
+        self.theta_bins = theta_bins
+        self.chunk_size = chunk_size
+        self.gmm_every = gmm_every
+        self.seed = seed
+        self.state: Optional[FilterState] = None
+        self._update_fn = None
+        self._last_map_center = np.zeros(2, dtype=np.int64)
+
+        if tdmap.have_map:
+            self.initialize_particles()
+
+    # -- lifecycle -----------------------------------------------------
+    def initialize_particles(self) -> None:
+        """particle_filter.cpp:19-84 (metric-init conversion included,
+        :27-53)."""
+        params = self.params
+        g = self.map.grid
+        map_size_scaled = np.array(
+            [g.width, g.height], dtype=np.float32
+        ) * self.map.resolution
+
+        if params.fixed_scale >= 0 and math.isfinite(params.init_pos_m_x):
+            center = np.asarray(g.map_center)
+            px = params.init_pos_m_x * params.fixed_scale + center[0]
+            py = params.init_pos_m_y * params.fixed_scale + center[1]
+            if not (0 <= px < g.width and 0 <= py < g.height):
+                print("[tdr-tpu] No map received for input loc")
+                return
+            good = False
+            for dx in range(-4, 5):
+                for dy in range(-4, 5):
+                    if 1 in self.map.get_classes_at_point((px + dx, py + dy)):
+                        good = True
+                        break
+                if good:
+                    break
+            if not good:
+                print("[tdr-tpu] No road in map at init location")
+                return
+            params.init_pos_px_x = float(px)
+            params.init_pos_px_y = float(py)
+
+        parts, n_active = particles_mod.initialize_particles(
+            self.n_max,
+            np.asarray(g.road_ok),
+            map_size_scaled,
+            self.map.resolution,
+            params,
+            seed=self.seed,
+        )
+        frozen = params.fixed_scale >= 0
+        key = jax.random.PRNGKey(self.seed)
+        self.state = FilterState(
+            particles=parts,
+            n_active=jnp.asarray(n_active, dtype=jnp.int32),
+            scale_frozen=jnp.asarray(frozen),
+            frozen_scale=jnp.asarray(
+                params.fixed_scale if frozen else -1.0, dtype=jnp.float32
+            ),
+            ml_index=jnp.asarray(0, dtype=jnp.int32),
+            gmm=GMMState.init(8),
+            key=key,
+            step=jnp.asarray(0, dtype=jnp.int32),
+        )
+        self._update_fn = make_update_step(
+            params,
+            g.num_classes,
+            self.map.resolution,
+            self.theta_bins,
+            self.n_max,
+            gmm_every=self.gmm_every,
+            chunk_size=self.chunk_size,
+        )
+        # initial GMM (particle_filter.cpp:81)
+        key, k_gmm = jax.random.split(key)
+        self.state = self.state.replace(
+            key=key,
+            gmm=gmm_mod.compute_gmm(
+                parts, self.state.n_active, jnp.asarray(1), k_gmm
+            ),
+        )
+
+    # -- step ----------------------------------------------------------
+    def propagate(self, trans, omega) -> None:
+        if self.state is None:
+            return
+        key, sub = jax.random.split(self.state.key)
+        parts = particles_mod.propagate(
+            self.state.particles,
+            sub,
+            jnp.asarray(trans, dtype=jnp.float32),
+            jnp.asarray(omega, dtype=jnp.float32),
+            self.params,
+            self.state.scale_frozen,
+        )
+        self.state = self.state.replace(particles=parts, key=key)
+
+    def update(self, scan, res) -> None:
+        """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
+        if self.state is None or int(self.state.n_active) == 0:
+            return
+        g = self.map.grid
+        map_size_scaled = (
+            jnp.asarray([g.width, g.height], dtype=jnp.float32)
+            * self.map.resolution
+        )
+        self.state = self._update_fn(
+            self.state,
+            g.dist,
+            map_size_scaled,
+            jnp.asarray(self.map.stencil),
+            jnp.asarray(scan, dtype=jnp.float32),
+            jnp.asarray(res, dtype=jnp.float32),
+        )
+
+    # -- queries (particle_filter.h:29-41) -----------------------------
+    def mean_likelihood(self) -> np.ndarray:
+        return np.asarray(
+            stats_mod.mean_likelihood(
+                self.state.particles, self.state.n_active
+            )
+        )
+
+    def compute_mean_cov(self) -> np.ndarray:
+        return np.asarray(
+            stats_mod.compute_mean_cov(
+                self.state.particles, self.state.n_active
+            )
+        )
+
+    def max_likelihood(self) -> np.ndarray:
+        return np.asarray(
+            stats_mod.max_likelihood(
+                self.state.particles, self.state.ml_index
+            )
+        )
+
+    def compute_cov(self) -> np.ndarray:
+        return np.asarray(
+            stats_mod.compute_cov(
+                self.state.particles,
+                self.state.ml_index,
+                self.state.n_active,
+            )
+        )
+
+    def get_gmm(self):
+        g = self.state.gmm
+        k = int(g.k)
+        return np.asarray(g.means)[:k], np.asarray(g.covs)[:k]
+
+    def freeze_scale(self) -> None:
+        """Geometric-mean scale lock (particle_filter.cpp:343-357)."""
+        if self.state is None or bool(self.state.scale_frozen):
+            return
+        p = self.state.particles
+        m = np.asarray(p.alive, dtype=np.float64)
+        logs = np.where(
+            m > 0, np.log(np.maximum(np.asarray(p.scale), 1e-30)), 0.0
+        )
+        geo_mean = float(np.exp(logs.sum() / max(m.sum(), 1.0)))
+        self.state = self.state.replace(
+            particles=p.replace(
+                scale=jnp.full_like(p.scale, geo_mean)
+            ),
+            scale_frozen=jnp.asarray(True),
+            frozen_scale=jnp.asarray(geo_mean, dtype=jnp.float32),
+        )
+        print(f"[tdr-tpu] scale converged and locked to {geo_mean}")
+
+    @property
+    def is_scale_frozen(self) -> bool:
+        return bool(self.state.scale_frozen) if self.state else False
+
+    def scale(self) -> float:
+        """particle_filter.cpp:359-367."""
+        if self.params.fixed_scale > 0:
+            return self.params.fixed_scale
+        if self.state is not None and bool(self.state.scale_frozen):
+            return float(self.state.particles.scale[0])
+        return -1.0
+
+    def num_particles(self) -> int:
+        return int(self.state.n_active) if self.state is not None else 0
+
+    # -- dynamic map (particle_filter.cpp:320-341) ---------------------
+    def update_map(self, ind_img, map_center) -> None:
+        self.map.update_map(ind_img, map_center)
+        delta = np.asarray(map_center) - self._last_map_center
+        if self.state is not None:
+            p = self.state.particles
+            self.state = self.state.replace(
+                particles=p.replace(
+                    init_px=p.init_px
+                    + jnp.asarray(delta, dtype=jnp.float32)[None, :]
+                )
+            )
+        self._last_map_center = np.asarray(map_center, dtype=np.int64)
+        if self.state is None or int(self.state.n_active) == 0:
+            self.initialize_particles()
