@@ -1,0 +1,130 @@
+"""Headline benchmark: full particle-filter steps/sec at 100k particles
+on one TPU chip (BASELINE.json north-star: >50 steps/s, >=100k particles
+scored per scan).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on the default platform (the real TPU under axon); BENCH_* env vars
+override particle count / steps / map size.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tdr")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from top_down_renderer_tpu.config import FilterParams
+    from top_down_renderer_tpu.filter.filter import (
+        make_update_step,
+        make_update_step_fast,
+    )
+    from top_down_renderer_tpu.filter import pallas_score as ps
+    from top_down_renderer_tpu.filter.particles import propagate
+    import __graft_entry__ as ge
+
+    n = int(os.environ.get("BENCH_N", 102400))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    hw = int(os.environ.get("BENCH_MAP", 1024))
+    chunk = int(os.environ.get("BENCH_CHUNK", 4096))
+    # converged-regime operating point: fixed scale 2 px/m, range res
+    # 0.5 m/bin (range_scale_min) -> f = 1.0, crop bucket d = 64
+    scale = float(os.environ.get("BENCH_SCALE", 2.0))
+    res_v = float(os.environ.get("BENCH_RES", 0.5))
+    exact = os.environ.get("BENCH_EXACT", "0") == "1"
+    c = 6
+    theta_bins, range_bins = 100, 25
+
+    (state, packed, map_size, stencil, scan, res, _params) = (
+        ge._synthetic_setup(
+            n, h=hw, w=hw, c=c, theta_bins=theta_bins,
+            range_bins=range_bins,
+        )
+    )
+    state = state.replace(
+        particles=state.particles.replace(
+            scale=jnp.full((n,), scale, jnp.float32)
+        )
+    )
+    res = jnp.asarray(res_v, jnp.float32)
+    params = FilterParams(
+        fixed_scale=scale, class_weights=[1.0] * c, force_on_map=True
+    )
+
+    if exact:
+        update = make_update_step(
+            params, grid_num_classes=c, map_resolution=1.0,
+            theta_bins=theta_bins, n_max=n, gmm_every=10,
+            chunk_size=chunk,
+        )
+        map_arg = packed
+    else:
+        d = ps.pick_crop_size(scale * res_v, range_bins)
+        update = make_update_step_fast(
+            params, grid_num_classes=c, map_resolution=1.0,
+            theta_bins=theta_bins, n_max=n, mode="tracked",
+            gmm_every=10,
+        )
+        map_arg = ps.build_padded_maps(packed, d)
+
+    prop = jax.jit(
+        lambda st, sub: propagate(
+            st.particles,
+            sub,
+            jnp.asarray([1.0, 0.0], jnp.float32),
+            jnp.asarray(0.01, jnp.float32),
+            params,
+            st.scale_frozen,
+        )
+    )
+
+    def full_step(state, scan):
+        key, sub = jax.random.split(state.key)
+        parts = prop(state, sub)
+        st = state.replace(particles=parts, key=key)
+        return update(st, map_arg, map_size, stencil, scan, res)
+
+    # warmup / compile
+    st = full_step(state, scan)
+    st = full_step(st, scan)
+    jax.block_until_ready(st)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st = full_step(st, scan)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = steps / dt
+    particles_per_s = steps_per_s * n
+    # baseline target: >50 PF steps/s at 100k particles on 1 chip
+    print(
+        json.dumps(
+            {
+                "metric": f"pf_steps_per_s_at_{n}_particles",
+                "value": round(steps_per_s, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / 50.0, 3),
+                "extra": {
+                    "particles_scored_per_s": int(particles_per_s),
+                    "step_ms": round(1000 * dt / steps, 2),
+                    "map": f"{hw}x{hw}x{c}",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,22 +1,26 @@
 """Test environment: virtual 8-device CPU mesh (no TPU dependency).
 
-Must set XLA flags before jax initializes.
+The environment registers the axon TPU PJRT plugin in a way that
+overrides JAX_PLATFORMS at import time, so we must also force the config
+after importing jax (before any backend use).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force off TPU for tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compilation cache: repeated suite runs skip XLA compiles
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tdr"
-)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tdr")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

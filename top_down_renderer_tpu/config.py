@@ -228,8 +228,9 @@ class RuntimeParams:
     theta_bins: int = 100
     range_bins: int = 25
     # GMM refresh: every k filter steps (replaces the reference's 1 Hz
-    # background thread, particle_filter.cpp:245-250)
-    gmm_every: int = 1
+    # background thread, particle_filter.cpp:245-250; at ~10 Hz scans the
+    # reference recomputes roughly every 10th update)
+    gmm_every: int = 10
 
 
 def ang_res(theta_bins: int = 100) -> float:

@@ -46,6 +46,50 @@ from top_down_renderer_tpu.filter.scoring import (
 FLT_MAX = float(np.finfo(np.float32).max)
 
 
+def weight_from_cost(
+    cost: jnp.ndarray,
+    particles: Particles,
+    params: FilterParams,
+    map_size_scaled: jnp.ndarray,
+) -> jnp.ndarray:
+    """cost -> raw weight with the reference's gates
+    (state_particle.cpp:163-176, 212): force-on-map and scale-range
+    zero the weight before the 1/(cost+regularization) conversion."""
+    weight = 1.0 / (cost + params.regularization)
+    center = particles.pose_px()
+    if params.force_on_map:
+        off = (
+            (center[:, 0] < 0)
+            | (center[:, 1] < 0)
+            | (center[:, 0] > map_size_scaled[0])
+            | (center[:, 1] > map_size_scaled[1])
+        )
+        weight = jnp.where(off, 0.0, weight)
+    if params.fixed_scale < 0:
+        bad_scale = (
+            particles.scale < 10.0**params.scale_log_min
+        ) | (particles.scale > 10.0**params.scale_log_max)
+        weight = jnp.where(bad_scale, 0.0, weight)
+    return weight
+
+
+def select_init_cost(
+    cost_search: jnp.ndarray, num_rot: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Theta-search argmin with the reference's NaN semantics
+    (state_particle.cpp:195-206): NaN never beats FLT_MAX, so an
+    all-unknown window keeps best_cost=FLT_MAX / best_theta=0."""
+    cost_search = jnp.where(
+        jnp.isnan(cost_search), FLT_MAX, cost_search
+    )
+    k_best = jnp.argmin(cost_search, axis=1)
+    best_cost = jnp.min(cost_search, axis=1)
+    best_theta = k_best.astype(jnp.float32) * (
+        2.0 * math.pi / num_rot
+    )
+    return best_cost, best_theta
+
+
 def compute_weights(
     costs_all: jnp.ndarray,
     particles: Particles,
@@ -72,40 +116,14 @@ def compute_weights(
 
     # uninitialized: search num_rot rotations, adopt argmin (:195-206)
     ssh = search_shifts(theta_bins, params.num_rot_search)
-    cost_search = costs_all[:, ssh]  # (N, num_rot)
-    cost_search = jnp.where(
-        jnp.isnan(cost_search), FLT_MAX, cost_search
-    )
-    # strict '<' argmin with ties to the first index, like the scan loop
-    k_best = jnp.argmin(cost_search, axis=1)
-    best_cost = jnp.min(cost_search, axis=1)
-    best_theta = k_best.astype(jnp.float32) * (
-        2.0 * math.pi / params.num_rot_search
+    best_cost, best_theta = select_init_cost(
+        costs_all[:, ssh], params.num_rot_search
     )
 
     have = particles.have_init
     cost = jnp.where(have, cost_tracked, best_cost)
     new_theta = jnp.where(have, particles.theta, best_theta)
-
-    weight = 1.0 / (cost + params.regularization)
-
-    # gates (state_particle.cpp:163-176): evaluated before scoring in the
-    # reference (early return weight=0)
-    center = particles.pose_px()
-    if params.force_on_map:
-        off = (
-            (center[:, 0] < 0)
-            | (center[:, 1] < 0)
-            | (center[:, 0] > map_size_scaled[0])
-            | (center[:, 1] > map_size_scaled[1])
-        )
-        weight = jnp.where(off, 0.0, weight)
-    if params.fixed_scale < 0:
-        bad_scale = (
-            particles.scale < 10.0**params.scale_log_min
-        ) | (particles.scale > 10.0**params.scale_log_max)
-        weight = jnp.where(bad_scale, 0.0, weight)
-
+    weight = weight_from_cost(cost, particles, params, map_size_scaled)
     return weight, new_theta, jnp.ones_like(have)
 
 
@@ -146,6 +164,142 @@ def postprocess_weights(
     return w / jnp.sum(w)
 
 
+def update_tail(
+    state: FilterState,
+    p: Particles,
+    w_raw: jnp.ndarray,
+    n_max: int,
+    k_max: int,
+    gmm_every: int,
+):
+    """Shared post-scoring pipeline: weight post-processing, adaptive
+    count, systematic resample, periodic GMM (particle_filter.cpp:
+    107-187, 245-318)."""
+    w = postprocess_weights(w_raw, p.last_dist, p.alive, state.n_active)
+    ml_index = jnp.argmax(w)
+    n_new = gmm_mod.adaptive_particle_count(
+        state.gmm, state.n_active, n_max
+    )
+    key, k_rs, k_gmm = jax.random.split(state.key, 3)
+    new_particles = systematic_resample(p, w, n_new, state.n_active, k_rs)
+
+    def do_gmm(_):
+        return gmm_mod.compute_gmm(
+            new_particles, n_new, state.gmm.k, k_gmm, k_max=k_max
+        )
+
+    new_gmm = jax.lax.cond(
+        state.step % gmm_every == 0,
+        do_gmm,
+        lambda _: state.gmm,
+        operand=None,
+    )
+    return state.replace(
+        particles=new_particles,
+        n_active=n_new,
+        ml_index=ml_index,
+        gmm=new_gmm,
+        key=key,
+        step=state.step + 1,
+    )
+
+
+def _pad_class_weights(params, grid_num_classes):
+    cw = np.asarray(params.class_weights, dtype=np.float32)
+    if cw.size < grid_num_classes:
+        cw = np.concatenate(
+            [cw, np.ones(grid_num_classes - cw.size, np.float32)]
+        )
+    return jnp.asarray(cw[:grid_num_classes])
+
+
+def make_tail_fn(
+    params: FilterParams, n_max: int, k_max: int, gmm_every: int
+):
+    """Jitted post-scoring tail, shared by every scoring mode (keeps the
+    per-mode compile small)."""
+
+    @jax.jit
+    def tail(
+        state: FilterState,
+        cost: jnp.ndarray,
+        new_theta: jnp.ndarray,
+        map_size_scaled: jnp.ndarray,
+    ) -> FilterState:
+        p = state.particles.replace(
+            theta=new_theta,
+            have_init=jnp.ones_like(state.particles.have_init),
+        )
+        w_raw = weight_from_cost(cost, p, params, map_size_scaled)
+        return update_tail(state, p, w_raw, n_max, k_max, gmm_every)
+
+    return tail
+
+
+def make_update_step_fast(
+    params: FilterParams,
+    grid_num_classes: int,
+    map_resolution: float,
+    theta_bins: int,
+    n_max: int,
+    mode: str,  # "tracked" | "init"
+    k_max: int = 8,
+    gmm_every: int = 1,
+    tail_fn=None,
+):
+    """Update using the Pallas crop-correlate fast path (uniform scale):
+    a jitted scoring stage + the shared jitted tail (two dispatches; both
+    stay on device).  res and scale are traced (f = scale*res changes
+    without recompile); only the crop bucket d is static."""
+    from top_down_renderer_tpu.filter import pallas_score as ps
+
+    class_weights = _pad_class_weights(params, grid_num_classes)
+    if tail_fn is None:
+        tail_fn = make_tail_fn(params, n_max, k_max, gmm_every)
+
+    @jax.jit
+    def score(
+        particles: Particles,
+        maps,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+    ):
+        p = particles
+        f = p.scale[0] * res  # uniform by contract
+        if mode == "tracked":
+            num, den, kf = ps.score_tracked_fast(
+                maps, stencil, scan, class_weights, p.pose_px(),
+                p.theta, f, map_resolution,
+            )
+            cost = num / den
+            cost = jnp.where(kf < 0.5, jnp.nan, cost)
+            return cost, p.theta
+        nums, dens, kf = ps.score_init_fast(
+            maps, stencil, scan, class_weights, p.pose_px(),
+            f, params.num_rot_search, map_resolution,
+        )
+        costs = nums / dens
+        costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
+        # host only selects this mode when NO particle has init
+        return select_init_cost(costs, params.num_rot_search)
+
+    def update(
+        state: FilterState,
+        maps,
+        map_size_scaled: jnp.ndarray,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+    ) -> FilterState:
+        cost, new_theta = score(
+            state.particles, maps, stencil, scan, res
+        )
+        return tail_fn(state, cost, new_theta, map_size_scaled)
+
+    return update
+
+
 def make_update_step(
     params: FilterParams,
     grid_num_classes: int,
@@ -156,16 +310,11 @@ def make_update_step(
     gmm_every: int = 1,
     chunk_size: int = 2048,
 ):
-    """Build the jitted functional update step, specialized on static
-    config.  Returns update(state, packed_map, map_size_scaled, stencil,
-    scan, res) -> FilterState."""
+    """Build the jitted functional update step (exact-gather scoring).
+    Returns update(state, packed_map, map_size_scaled, stencil, scan,
+    res) -> FilterState."""
 
-    cw = np.asarray(params.class_weights, dtype=np.float32)
-    if cw.size < grid_num_classes:
-        cw = np.concatenate(
-            [cw, np.ones(grid_num_classes - cw.size, np.float32)]
-        )
-    class_weights = jnp.asarray(cw[:grid_num_classes])
+    class_weights = _pad_class_weights(params, grid_num_classes)
 
     @jax.jit
     def update(
@@ -193,40 +342,7 @@ def make_update_step(
             costs_all, p, params, map_size_scaled, theta_bins
         )
         p = p.replace(theta=new_theta, have_init=have_init)
-        w = postprocess_weights(
-            w_raw, p.last_dist, p.alive, state.n_active
-        )
-        ml_index = jnp.argmax(w)
-
-        n_new = gmm_mod.adaptive_particle_count(
-            state.gmm, state.n_active, n_max
-        )
-
-        key, k_rs, k_gmm = jax.random.split(state.key, 3)
-        new_particles = systematic_resample(
-            p, w, n_new, state.n_active, k_rs
-        )
-
-        def do_gmm(_):
-            return gmm_mod.compute_gmm(
-                new_particles, n_new, state.gmm.k, k_gmm, k_max=k_max
-            )
-
-        new_gmm = jax.lax.cond(
-            state.step % gmm_every == 0,
-            do_gmm,
-            lambda _: state.gmm,
-            operand=None,
-        )
-
-        return state.replace(
-            particles=new_particles,
-            n_active=n_new,
-            ml_index=ml_index,
-            gmm=new_gmm,
-            key=key,
-            step=state.step + 1,
-        )
+        return update_tail(state, p, w_raw, n_max, k_max, gmm_every)
 
     return update
 
@@ -244,6 +360,7 @@ class ParticleFilter:
         theta_bins: int = 100,
         gmm_every: int = 1,
         chunk_size: int = 2048,
+        use_fast: str | bool = "auto",
     ):
         # pad N to a chunk multiple (static-shape requirement)
         chunk_size = min(chunk_size, n_max)
@@ -258,6 +375,13 @@ class ParticleFilter:
         self.state: Optional[FilterState] = None
         self._update_fn = None
         self._last_map_center = np.zeros(2, dtype=np.int64)
+        # Pallas fast-path machinery (see filter/pallas_score.py)
+        if use_fast == "auto":
+            use_fast = jax.default_backend() not in ("cpu",)
+        self.use_fast = bool(use_fast)
+        self._fast_fns = {}
+        self._maps_cache = {}
+        self._map_version = 0
 
         if tdmap.have_map:
             self.initialize_particles()
@@ -348,6 +472,63 @@ class ParticleFilter:
         )
         self.state = self.state.replace(particles=parts, key=key)
 
+    def _fast_mode(self, res: float):
+        """Host-side fast-path dispatch: returns (mode, d, scale) or None.
+
+        The fast path requires a uniform particle scale (fixed or frozen),
+        a crop bucket covering scale*res, and a homogeneous have_init
+        (all -> tracked flavor, none -> theta-search flavor)."""
+        if not self.use_fast:
+            return None
+        from top_down_renderer_tpu.filter import pallas_score as ps
+
+        if self.params.fixed_scale > 0:
+            scale = self.params.fixed_scale
+        elif bool(self.state.scale_frozen):
+            scale = float(self.state.particles.scale[0])
+        else:
+            return None
+        range_bins = self.map.stencil.shape[1]
+        d = ps.pick_crop_size(scale * res, range_bins)
+        if d is None:
+            return None
+        have = np.asarray(self.state.particles.have_init)
+        alive = np.asarray(self.state.particles.alive)
+        if np.all(have[alive]):
+            return ("tracked", d, scale)
+        if not np.any(have[alive]):
+            return ("init", d, scale)
+        return None
+
+    def _get_padded_maps(self, d: int):
+        from top_down_renderer_tpu.filter import pallas_score as ps
+
+        key = (self._map_version, d)
+        if key not in self._maps_cache:
+            self._maps_cache = {
+                key: ps.build_padded_maps(self.map.grid.dist, d)
+            }
+        return self._maps_cache[key]
+
+    def _get_fast_fn(self, mode: str, d: int):
+        key = (mode, d)
+        if key not in self._fast_fns:
+            if not hasattr(self, "_tail_fn"):
+                self._tail_fn = make_tail_fn(
+                    self.params, self.n_max, 8, self.gmm_every
+                )
+            self._fast_fns[key] = make_update_step_fast(
+                self.params,
+                self.map.grid.num_classes,
+                self.map.resolution,
+                self.theta_bins,
+                self.n_max,
+                mode,
+                gmm_every=self.gmm_every,
+                tail_fn=self._tail_fn,
+            )
+        return self._fast_fns[key]
+
     def update(self, scan, res) -> None:
         """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
         if self.state is None or int(self.state.n_active) == 0:
@@ -357,14 +538,24 @@ class ParticleFilter:
             jnp.asarray([g.width, g.height], dtype=jnp.float32)
             * self.map.resolution
         )
-        self.state = self._update_fn(
-            self.state,
-            g.dist,
-            map_size_scaled,
-            jnp.asarray(self.map.stencil),
-            jnp.asarray(scan, dtype=jnp.float32),
-            jnp.asarray(res, dtype=jnp.float32),
-        )
+        scan = jnp.asarray(scan, dtype=jnp.float32)
+        res_j = jnp.asarray(res, dtype=jnp.float32)
+        stencil = jnp.asarray(self.map.stencil)
+        fast = self._fast_mode(float(res))
+        if fast is not None:
+            mode, d, _scale = fast
+            self.state = self._get_fast_fn(mode, d)(
+                self.state,
+                self._get_padded_maps(d),
+                map_size_scaled,
+                stencil,
+                scan,
+                res_j,
+            )
+        else:
+            self.state = self._update_fn(
+                self.state, g.dist, map_size_scaled, stencil, scan, res_j
+            )
 
     # -- queries (particle_filter.h:29-41) -----------------------------
     def mean_likelihood(self) -> np.ndarray:
@@ -439,6 +630,8 @@ class ParticleFilter:
     # -- dynamic map (particle_filter.cpp:320-341) ---------------------
     def update_map(self, ind_img, map_center) -> None:
         self.map.update_map(ind_img, map_center)
+        self._map_version += 1
+        self._maps_cache.clear()
         delta = np.asarray(map_center) - self._last_map_center
         if self.state is not None:
             p = self.state.particles

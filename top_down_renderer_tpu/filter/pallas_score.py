@@ -1,0 +1,503 @@
+"""Pallas TPU fast path for particle scoring (uniform scale).
+
+The exact XLA path (filter/scoring.py) is gather-bound: XLA's TPU gather
+sustains ~1.7e8 descriptors/s (measured), and the stencil gather needs
+N*2500 random reads -> ~1.5 s/step at N=100k.  This kernel restructures
+the problem around dense DMA + MXU matmul:
+
+  1. With a UNIFORM particle scale (fixed_scale or frozen - the
+     converged/serving regime) the stencil's pixel offsets
+     round(offset * scale * res) are shared by every particle, so the
+     stencil->pixel selection folded through the rolled-scan circulant
+     becomes a shared matrix M and scoring is
+         out[p, :] = crop_p_flat @ M
+     with crop_p a dense (D, (D+16)*8) window around the particle,
+     fetched as ONE strided DMA (contiguous rows, full HBM bandwidth).
+  2. Mosaic constrains DMA slice starts to the (8, 128) tiling:
+       - y residual (mod 8): handled by 8 row-shifted copies of the map
+         stacked on a leading dim the DMA indexes dynamically.
+       - x residual (mod 16 px = 128 lanes): handled by 16 row-shifted
+         M variants (a shift of x by rx px shifts M's K-rows by rx*8).
+  3. Columns are windowed so cost + normalization + known-count fit one
+     matmul: particles are sorted by (x-residual, shift-group) and each
+     tile selects its M variant via scalar prefetch.  In tracked mode a
+     particle needs its own rotation shift only, so a 16-shift window
+     (cost 16 | norm 16 | kf) = 33 cols -> 64-wide M.  In the
+     theta-search (init) mode all particles share the 40 search shifts
+     (state_particle.cpp:195-206) -> (40 | 40 | kf) = 81 -> 128 cols.
+
+Sampling semantics: sample = map[round(cy) + round(dy*f),
+round(cx) + round(dx*f)] - a nearest-neighbor discretization that can
+differ from the exact path's round(cy + dy*f) by at most one pixel (both
+are NN samplings of the same field; the exact path remains the parity
+reference, top_down_map_polar.cpp:21-53).  Out-of-bounds windows read a
+zero-padded border: dist 0 / known 0 (top_down_map_polar.cpp:38-50).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from top_down_renderer_tpu.filter.scoring import (
+    build_circulants,
+    rotation_shift,
+    search_shifts,
+)
+
+_D_BUCKETS = (32, 48, 64)
+C_PAD = 8  # packed map channels (build_grid pads to 8)
+RX = 16  # x-residual variants (128-lane alignment / 8 channels)
+GW = 16  # tracked-mode shift-window width
+N_GROUPS = 7  # ceil(100 / GW) shift groups
+
+
+def pick_crop_size(f: float, range_bins: int) -> int | None:
+    """Smallest supported crop size D for scale*res = f, or None if the
+    fast path doesn't apply (use the exact gather).
+
+    Exact bound: stencil pixel offsets are round(off*f) with
+    |off| <= (range_bins-1)*f, and crop row py = d/2 + off must stay in
+    [0, d), so d >= 2*(max_off + 1)."""
+    max_off = int(np.ceil((range_bins - 1) * float(f)))
+    need = 2 * (max_off + 1)
+    for d in _D_BUCKETS:
+        if need <= d:
+            return d
+    return None
+
+
+def tracked_p_tile(d: int) -> int:
+    # VMEM budget: 2x double-buffered crops + resident M(64, K) <= ~14 MB
+    return {32: 128, 48: 96, 64: 48}[d]
+
+
+def init_p_tile(d: int) -> int:
+    # init-flavor M is 128-wide; smaller tiles (init steps are one-off)
+    return {32: 64, 48: 48, 64: 24}[d]
+
+
+from flax import struct
+
+
+@struct.dataclass
+class PaddedMaps:
+    """Device-resident DMA-ready map stack; rebuild on map / d change."""
+
+    stacked: jnp.ndarray  # (8, Hp, Wp*8) bf16 row-shifted copies
+    hp: int = struct.field(pytree_node=False, default=0)
+    wp: int = struct.field(pytree_node=False, default=0)
+    d: int = struct.field(pytree_node=False, default=0)
+    pad: int = struct.field(pytree_node=False, default=0)
+
+
+def build_padded_maps(packed: jnp.ndarray, d: int) -> PaddedMaps:
+    """(H, W, 8) f32 -> zero-padded bf16 2D view stacked over 8 y-shifts.
+    Zeros = dist 0 / known 0 = the reference's out-of-bounds values."""
+    pad = d
+    p = jnp.pad(
+        packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
+    )
+    hp_full = p.shape[0]
+    wp = p.shape[1]
+    p2 = p.reshape(hp_full, wp * C_PAD)
+    hp = hp_full - 8
+    stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
+    return PaddedMaps(
+        stacked=stacked, hp=int(hp), wp=int(wp), d=int(d), pad=int(pad)
+    )
+
+
+def _build_base_t(
+    d: int,
+    py: jnp.ndarray,
+    px: jnp.ndarray,
+    c: int,
+    cost_cols: jnp.ndarray,  # (TR*C, n_cost) - rows in (theta,r,c) order
+    norm_cols: jnp.ndarray,  # (TR, n_norm)
+    s_cols: int,
+) -> jnp.ndarray:
+    """Build the TRANSPOSED base matrix (s_cols, K + RX*8) bf16.
+
+    TPU scatter is descriptor-bound (~75 ms for these shapes), so the
+    stencil->K-row selection is expressed as a dense one-hot MXU matmul:
+      base_T = circ2_T (s_cols, TR*8) @ onehot (TR*8, Kext)
+    with onehot[(i, ch), k] = (pix8[i] + ch == k), built chunk-by-chunk
+    (~26 MB per chunk)."""
+    tr = py.shape[0]
+    kext = d * (d + RX) * C_PAD + RX * C_PAD
+    n_cost = cost_cols.shape[1]
+    n_norm = norm_cols.shape[1]
+    pix8 = (py * (d + RX) + px) * C_PAD  # (TR,)
+    rowvals = (
+        pix8[:, None]
+        + jax.lax.broadcasted_iota(jnp.int32, (tr, C_PAD), 1)
+    ).reshape(-1)  # (TR*8,)
+
+    # circ2[(i, ch), col]: channels < c carry cost, channel c carries
+    # norm + the kf count, channels > c are zero padding
+    circ2 = jnp.zeros((tr, C_PAD, s_cols), jnp.float32)
+    circ2 = circ2.at[:, :c, :n_cost].set(
+        cost_cols.reshape(tr, c, n_cost)
+    )
+    circ2 = circ2.at[:, c, n_cost : n_cost + n_norm].set(norm_cols)
+    circ2 = circ2.at[:, c, n_cost + n_norm].set(1.0)
+    circ2_t = circ2.reshape(tr * C_PAD, s_cols).T.astype(jnp.bfloat16)
+
+    n_chunks = 8
+    kc = kext // n_chunks
+    parts = []
+    for j in range(n_chunks):
+        kidx = j * kc + jax.lax.broadcasted_iota(
+            jnp.int32, (1, kc), 1
+        )
+        onehot = (rowvals[:, None] == kidx).astype(jnp.bfloat16)
+        parts.append(
+            jnp.dot(
+                circ2_t, onehot, preferred_element_type=jnp.float32
+            )
+        )
+    return jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+
+
+def build_m_tracked(
+    scan: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    stencil: jnp.ndarray,
+    f,
+    d: int,
+) -> jnp.ndarray:
+    """(RX*N_GROUPS, K, 64) bf16 variants for tracked mode.
+
+    Variant (rx, g) columns: [0:16) cost at shifts [16g,16g+16),
+    [16:32) norm at the same shifts, [32] known count."""
+    c, th, r = scan.shape
+    cost_circ, norm_circ = build_circulants(scan, class_weights)
+    cost_circ = cost_circ.reshape(th * r * c, th)
+    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
+    py = off[:, 0] + d // 2
+    px = off[:, 1] + d // 2  # rx = 0 base
+    k = d * (d + RX) * C_PAD
+
+    # per-group shift windows; the one-hot selection inside
+    # _build_base_t is shared across the vmap (it doesn't depend on g)
+    cols = (
+        jnp.arange(N_GROUPS)[:, None] * GW + jnp.arange(GW)[None, :]
+    ) % th  # (7, 16)
+    base_t = jax.vmap(
+        lambda cc, nc: _build_base_t(d, py, px, c, cc, nc, 64)
+    )(
+        jnp.moveaxis(cost_circ[:, cols], 1, 0),  # (7, TR*C, 16)
+        jnp.moveaxis(norm_circ[:, cols], 1, 0),  # (7, TR, 16)
+    )  # (7, 64, Kext)
+
+    # 16 rx variants are static minor-axis rolls: shifting x by rx px
+    # shifts K-rows by rx*8; wrapped tail rows are zero padding
+    m = jnp.stack(
+        [
+            jnp.roll(base_t, rx * C_PAD, axis=2)[:, :, :k]
+            for rx in range(RX)
+        ]
+    )  # (16, 7, 64, K)
+    return m.reshape(RX * N_GROUPS, 64, k)
+
+
+def build_m_init(
+    scan: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    stencil: jnp.ndarray,
+    f,
+    d: int,
+    num_rot: int = 40,
+) -> jnp.ndarray:
+    """(RX, K, 128) bf16 for the theta-search mode: cols [0:num_rot)
+    cost at the search shifts, [num_rot:2*num_rot) norm, [2*num_rot] kf."""
+    c, th, r = scan.shape
+    cost_circ, norm_circ = build_circulants(scan, class_weights)
+    cost_circ = cost_circ.reshape(th * r * c, th)
+    ssh = search_shifts(th, num_rot)
+    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
+    py = off[:, 0] + d // 2
+    px = off[:, 1] + d // 2
+    k = d * (d + RX) * C_PAD
+    base_t = _build_base_t(
+        d, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128
+    )  # (128, Kext)
+    m = jnp.stack(
+        [
+            jnp.roll(base_t, rx * C_PAD, axis=1)[:, :k]
+            for rx in range(RX)
+        ]
+    )
+    return m  # (RX, 128, K)
+
+
+def _kernel(
+    midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
+    out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
+    *, d: int, p_tile: int,
+):
+    """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
+    crop DMAs (both the transfer and the per-particle issue cost on the
+    scalar core).  M is single-buffered and refetched only when the
+    variant changes - particles are sorted by variant."""
+    dx8 = (d + RX) * C_PAD
+    i_tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    midx = midx_ref[i_tile]
+    slot = jax.lax.rem(i_tile, 2)
+    nslot = jax.lax.rem(i_tile + 1, 2)
+
+    def m_dma():
+        return pltpu.make_async_copy(m_hbm_ref.at[midx], m_buf, m_sem)
+
+    need_m = (i_tile == 0) | (midx != prev_idx[0])
+
+    @pl.when(need_m)
+    def _():
+        m_dma().start()
+
+    def dma(orig, i, s):
+        # origins store y8/8 and xe/128: multiplying in-kernel lets
+        # Mosaic prove the (8, 128)-tile alignment of the slice start
+        return pltpu.make_async_copy(
+            stacked_ref.at[
+                orig[i, 0],
+                pl.ds(orig[i, 1] * 8, d),
+                pl.ds(orig[i, 2] * 128, dx8),
+            ],
+            crop_buf.at[s, i],
+            sems.at[s, i],
+        )
+
+    @pl.when(i_tile == 0)
+    def _():
+        jax.lax.fori_loop(
+            0, p_tile,
+            lambda i, _: (dma(origins_ref, i, slot).start(), 0)[1],
+            0, unroll=True,
+        )
+
+    # prefetch next tile's crops into the other slot
+    @pl.when(i_tile + 1 < n_tiles)
+    def _():
+        jax.lax.fori_loop(
+            0, p_tile,
+            lambda i, _: (dma(origins_next_ref, i, nslot).start(), 0)[1],
+            0, unroll=True,
+        )
+
+    @pl.when(need_m)
+    def _():
+        m_dma().wait()
+
+    prev_idx[0] = midx
+    jax.lax.fori_loop(
+        0, p_tile,
+        lambda i, _: (dma(origins_ref, i, slot).wait(), 0)[1],
+        0, unroll=True,
+    )
+    flat = crop_buf[slot].reshape(p_tile, d * dx8)
+    out_ref[...] = jax.lax.dot_general(
+        flat,
+        m_buf[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "p_tile", "s_cols", "interpret")
+)
+def _run_kernel(
+    stacked: jnp.ndarray,
+    origins: jnp.ndarray,
+    midx: jnp.ndarray,
+    m_var: jnp.ndarray,
+    d: int,
+    p_tile: int,
+    s_cols: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n_pad = origins.shape[0]
+    n_tiles = n_pad // p_tile
+    k = d * (d + RX) * C_PAD
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (p_tile, 4),
+                lambda i, m: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(  # next tile's origins (for crop prefetch)
+                (p_tile, 4),
+                lambda i, m: (jnp.minimum(i + 1, n_tiles - 1), 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # M variants, manual DMA
+        ],
+        out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, p_tile, d, (d + RX) * C_PAD), jnp.bfloat16),
+            pltpu.VMEM((s_cols, k), jnp.bfloat16),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, p_tile)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, d=d, p_tile=p_tile),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
+        interpret=interpret,
+    )(midx, origins, origins, stacked, m_var)
+
+
+def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
+    """Sort particles into per-group tile-padded slots.
+
+    Returns (pos (N,) int32 slot per particle, tile_midx (n_tiles,),
+    n_pad static).  Empty groups consume no tiles beyond rounding."""
+    n = key.shape[0]
+    n_pad = ((n + p_tile - 1) // p_tile + n_groups) * p_tile
+    counts = jnp.bincount(key, length=n_groups)
+    padded = ((counts + p_tile - 1) // p_tile) * p_tile
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    excl = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    order = jnp.argsort(key, stable=True)
+    key_sorted = key[order]
+    rank = jnp.arange(n, dtype=jnp.int32) - excl[key_sorted]
+    pos_sorted = starts[key_sorted] + rank
+    pos = jnp.zeros(n, jnp.int32).at[order].set(pos_sorted)
+
+    keypad = jnp.full(n_pad, -1, jnp.int32).at[pos_sorted].set(key_sorted)
+    n_tiles = n_pad // p_tile
+    tile_midx = jnp.max(keypad.reshape(n_tiles, p_tile), axis=1)
+    tile_midx = jnp.maximum(tile_midx, 0)
+    return pos, tile_midx, n_pad
+
+
+def _origins(
+    center_px: jnp.ndarray,
+    maps: PaddedMaps,
+    map_resolution: float,
+):
+    """Crop origin decomposition.  Returns (ry, y8, xe, rx, in_range)."""
+    d, pad = maps.d, maps.pad
+    cy = jnp.round(center_px[:, 1] / map_resolution).astype(jnp.int32)
+    cx = jnp.round(center_px[:, 0] / map_resolution).astype(jnp.int32)
+    y0 = cy - d // 2 + pad
+    x0 = cx - d // 2 + pad
+    in_range = (
+        (y0 >= 0)
+        & (y0 <= maps.hp - d)
+        & (x0 >= 0)
+        & (x0 <= maps.wp - d - RX)
+    )
+    y0c = jnp.where(in_range, y0, 0)
+    x0c = jnp.where(in_range, x0, 0)
+    ry = y0c % 8
+    y8 = (y0c - ry) // 8  # kernel multiplies by 8 (alignment proof)
+    rx = x0c % RX
+    xe = (x0c - rx) * C_PAD // 128  # kernel multiplies by 128
+    return ry, y8, xe, rx, in_range
+
+
+def score_tracked_fast(
+    maps: PaddedMaps,
+    stencil: jnp.ndarray,
+    scan: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    center_px: jnp.ndarray,
+    theta: jnp.ndarray,
+    f,
+    map_resolution: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tracked-mode scoring: each particle at its own rotation shift.
+
+    Returns (cost (N,), norm (N,), kf (N,)); caller computes
+    cost/norm and the NaN rule."""
+    th, r, _ = stencil.shape
+    d = maps.d
+    p_tile = tracked_p_tile(d)
+    m_var = build_m_tracked(scan, class_weights, stencil, f, d)
+
+    s = rotation_shift(theta, th)
+    g = s // GW
+    ry, y8, xe, rx, in_range = _origins(center_px, maps, map_resolution)
+    key = (rx * N_GROUPS + g).astype(jnp.int32)
+    pos, tile_midx, n_pad = _group_layout(
+        key, RX * N_GROUPS, p_tile
+    )
+    origins = jnp.zeros((n_pad, 4), jnp.int32)
+    origins = origins.at[pos].set(
+        jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
+    )
+    out = _run_kernel(
+        maps.stacked, origins, tile_midx, m_var, d, p_tile, 64,
+        interpret,
+    )
+    rows = out[pos]  # (N, 64)
+    local = s - g * GW
+    cost = jnp.take_along_axis(rows, local[:, None], axis=1)[:, 0]
+    norm = jnp.take_along_axis(rows, (GW + local)[:, None], axis=1)[:, 0]
+    kf_cnt = rows[:, 2 * GW]
+    kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
+    cost = jnp.where(in_range, cost, 0.0)
+    norm = jnp.where(in_range, norm, 0.0)
+    return cost, norm, kf
+
+
+def score_init_fast(
+    maps: PaddedMaps,
+    stencil: jnp.ndarray,
+    scan: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    center_px: jnp.ndarray,
+    f,
+    num_rot: int = 40,
+    map_resolution: float = 1.0,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Theta-search scoring: every particle against the num_rot search
+    shifts.  Returns (costs (N, num_rot), norms (N, num_rot), kf (N,))."""
+    th, r, _ = stencil.shape
+    d = maps.d
+    p_tile = init_p_tile(d)
+    m_var = build_m_init(
+        scan, class_weights, stencil, f, d, num_rot
+    )
+    ry, y8, xe, rx, in_range = _origins(center_px, maps, map_resolution)
+    pos, tile_midx, n_pad = _group_layout(
+        rx.astype(jnp.int32), RX, p_tile
+    )
+    origins = jnp.zeros((n_pad, 4), jnp.int32)
+    origins = origins.at[pos].set(
+        jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
+    )
+    out = _run_kernel(
+        maps.stacked, origins, tile_midx, m_var, d, p_tile, 128,
+        interpret,
+    )
+    rows = out[pos]
+    costs = rows[:, :num_rot]
+    norms = rows[:, num_rot : 2 * num_rot]
+    kf_cnt = rows[:, 2 * num_rot]
+    kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
+    costs = jnp.where(in_range[:, None], costs, 0.0)
+    norms = jnp.where(in_range[:, None], norms, 0.0)
+    return costs, norms, kf

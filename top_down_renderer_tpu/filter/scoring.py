@@ -45,13 +45,15 @@ def build_circulants(
     """
     c, th, r = scan.shape
     wscan = scan * (0.01 * class_weights)[:, None, None]
-    shifts = jnp.arange(th)
-    rows = (jnp.arange(th)[:, None] + shifts[None, :]) % th  # (theta, s)
-    # (C, theta, s, R): wscan[:, rows, :]
-    rolled = wscan[:, rows, :]  # (C, Th, S, R)
+    # static rolls (a gather-based roll is descriptor-bound on TPU)
+    rolled = jnp.stack(
+        [jnp.roll(wscan, -s, axis=1) for s in range(th)], axis=2
+    )  # (C, Th, S, R): rolled[c, t, s] = wscan[c, (t+s) % Th]
     cost_circ = jnp.transpose(rolled, (1, 3, 0, 2)).reshape(th * r * c, th)
     ssum = jnp.sum(scan, axis=0)  # (Th, R)
-    rolled_sum = ssum[rows, :]  # (Th, S, R)
+    rolled_sum = jnp.stack(
+        [jnp.roll(ssum, -s, axis=0) for s in range(th)], axis=1
+    )  # (Th, S, R)
     norm_circ = jnp.transpose(rolled_sum, (0, 2, 1)).reshape(th * r, th)
     return cost_circ, norm_circ
 
