@@ -69,13 +69,13 @@ def main():
         )
         map_arg = packed
     else:
-        d = ps.pick_crop_size(scale * res_v, range_bins)
+        mo = ps.pick_crop_size(scale * res_v, range_bins)
         update = make_update_step_fast(
             params, grid_num_classes=c, map_resolution=1.0,
-            theta_bins=theta_bins, n_max=n, mode="tracked",
+            theta_bins=theta_bins, n_max=n, mode="tracked", mo=mo,
             gmm_every=10,
         )
-        map_arg = ps.build_padded_maps(packed, d)
+        map_arg = ps.build_padded_maps(packed)
 
     prop = jax.jit(
         lambda st, sub: propagate(

@@ -22,8 +22,8 @@ scan = (rng.random((C, 100, 25)) * 3).astype(np.float32)
 cw = jnp.asarray(np.array([1, 2, 0.5, 1, 1, 1], np.float32))
 scale, res = 2.0, 0.5
 f = scale * res
-d = ps.pick_crop_size(f, 25)
-print("f =", f, "D =", d, flush=True)
+mo = ps.pick_crop_size(f, 25)
+print("f =", f, "mo =", mo, "dims =", ps.crop_dims(mo), flush=True)
 
 # integer centers -> fast and exact sample identical pixels
 centers_i = rng.integers(2, min(H, W) - 2, (N, 2)).astype(np.float32)
@@ -31,7 +31,7 @@ scales = np.full(N, scale, np.float32)
 thetas = (rng.random(N) * 2 * np.pi).astype(np.float32)
 
 packed_j = jnp.asarray(packed)
-maps = ps.build_padded_maps(packed_j, d)
+maps = ps.build_padded_maps(packed_j)
 jax.block_until_ready(maps.stacked)
 
 # exact costs over all rotations (subset of particles for speed)
@@ -44,9 +44,9 @@ costs_e, kf_e = score_all_rotations(
 costs_e = np.asarray(costs_e)
 
 # --- tracked flavor ---
-num, den, kf = ps.score_tracked_fast(
+num, den, kf = ps.score_tracked_fast_mo(
     maps, jnp.asarray(stencil), jnp.asarray(scan), cw,
-    jnp.asarray(centers_i), jnp.asarray(thetas), f,
+    jnp.asarray(centers_i), jnp.asarray(thetas), f, mo,
 )
 cost_f = np.asarray(num / den)
 kf_f = np.asarray(kf)
@@ -60,9 +60,9 @@ print("tracked: rel err med", np.median(rel), "p99",
 print("kf err:", np.abs(np.asarray(kf_e) - kf_f[:NSUB]).max(), flush=True)
 
 # --- init flavor ---
-nums, dens, kfi = ps.score_init_fast(
+nums, dens, kfi = ps.score_init_fast_mo(
     maps, jnp.asarray(stencil), jnp.asarray(scan), cw,
-    jnp.asarray(centers_i), f,
+    jnp.asarray(centers_i), f, mo,
 )
 ci = np.asarray(nums / dens)
 ssh = np.asarray(search_shifts(100, 40))
@@ -82,7 +82,7 @@ def timeit(name, fn, reps=10):
 
 st_j, sc_j, c_j, t_j = (jnp.asarray(stencil), jnp.asarray(scan),
                         jnp.asarray(centers_i), jnp.asarray(thetas))
-timeit("tracked fast (100k)", lambda: ps.score_tracked_fast(
-    maps, st_j, sc_j, cw, c_j, t_j, f))
-timeit("init fast (100k)", lambda: ps.score_init_fast(
-    maps, st_j, sc_j, cw, c_j, f))
+fast_t = jax.jit(lambda c_, t_: ps.score_tracked_fast_mo(maps, st_j, sc_j, cw, c_, t_, f, mo))
+timeit("tracked fast jit (100k)", lambda: fast_t(c_j, t_j))
+fast_i = jax.jit(lambda c_: ps.score_init_fast_mo(maps, st_j, sc_j, cw, c_, f, mo))
+timeit("init fast jit (100k)", lambda: fast_i(c_j))

@@ -243,6 +243,7 @@ def make_update_step_fast(
     theta_bins: int,
     n_max: int,
     mode: str,  # "tracked" | "init"
+    mo: int = 24,
     k_max: int = 8,
     gmm_every: int = 1,
     tail_fn=None,
@@ -250,7 +251,7 @@ def make_update_step_fast(
     """Update using the Pallas crop-correlate fast path (uniform scale):
     a jitted scoring stage + the shared jitted tail (two dispatches; both
     stay on device).  res and scale are traced (f = scale*res changes
-    without recompile); only the crop bucket d is static."""
+    without recompile); only the crop bucket mo is static."""
     from top_down_renderer_tpu.filter import pallas_score as ps
 
     class_weights = _pad_class_weights(params, grid_num_classes)
@@ -268,16 +269,16 @@ def make_update_step_fast(
         p = particles
         f = p.scale[0] * res  # uniform by contract
         if mode == "tracked":
-            num, den, kf = ps.score_tracked_fast(
+            num, den, kf = ps.score_tracked_fast_mo(
                 maps, stencil, scan, class_weights, p.pose_px(),
-                p.theta, f, map_resolution,
+                p.theta, f, mo, map_resolution,
             )
             cost = num / den
             cost = jnp.where(kf < 0.5, jnp.nan, cost)
             return cost, p.theta
-        nums, dens, kf = ps.score_init_fast(
+        nums, dens, kf = ps.score_init_fast_mo(
             maps, stencil, scan, class_weights, p.pose_px(),
-            f, params.num_rot_search, map_resolution,
+            f, mo, params.num_rot_search, map_resolution,
         )
         costs = nums / dens
         costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
@@ -489,29 +490,29 @@ class ParticleFilter:
         else:
             return None
         range_bins = self.map.stencil.shape[1]
-        d = ps.pick_crop_size(scale * res, range_bins)
-        if d is None:
+        mo = ps.pick_crop_size(scale * res, range_bins)
+        if mo is None:
             return None
         have = np.asarray(self.state.particles.have_init)
         alive = np.asarray(self.state.particles.alive)
         if np.all(have[alive]):
-            return ("tracked", d, scale)
+            return ("tracked", mo, scale)
         if not np.any(have[alive]):
-            return ("init", d, scale)
+            return ("init", mo, scale)
         return None
 
-    def _get_padded_maps(self, d: int):
+    def _get_padded_maps(self):
         from top_down_renderer_tpu.filter import pallas_score as ps
 
-        key = (self._map_version, d)
+        key = self._map_version
         if key not in self._maps_cache:
             self._maps_cache = {
-                key: ps.build_padded_maps(self.map.grid.dist, d)
+                key: ps.build_padded_maps(self.map.grid.dist)
             }
         return self._maps_cache[key]
 
-    def _get_fast_fn(self, mode: str, d: int):
-        key = (mode, d)
+    def _get_fast_fn(self, mode: str, mo: int):
+        key = (mode, mo)
         if key not in self._fast_fns:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
@@ -524,6 +525,7 @@ class ParticleFilter:
                 self.theta_bins,
                 self.n_max,
                 mode,
+                mo=mo,
                 gmm_every=self.gmm_every,
                 tail_fn=self._tail_fn,
             )
@@ -543,10 +545,10 @@ class ParticleFilter:
         stencil = jnp.asarray(self.map.stencil)
         fast = self._fast_mode(float(res))
         if fast is not None:
-            mode, d, _scale = fast
-            self.state = self._get_fast_fn(mode, d)(
+            mode, mo, _scale = fast
+            self.state = self._get_fast_fn(mode, mo)(
                 self.state,
-                self._get_padded_maps(d),
+                self._get_padded_maps(),
                 map_size_scaled,
                 stencil,
                 scan,

@@ -51,36 +51,44 @@ from top_down_renderer_tpu.filter.scoring import (
     search_shifts,
 )
 
-_D_BUCKETS = (32, 48, 64)
 C_PAD = 8  # packed map channels (build_grid pads to 8)
 RX = 16  # x-residual variants (128-lane alignment / 8 channels)
 GW = 16  # tracked-mode shift-window width
 N_GROUPS = 7  # ceil(100 / GW) shift groups
+MAP_PAD = 64  # zero border on the stacked maps; bounds the max crop
+
+# crop-size buckets keyed by the max stencil pixel offset mo: the crop is
+# RECTANGULAR - rows dr = roundup8(2*mo+2) (8-aligned DMA rows), cols
+# dc = roundup16(2*mo+17) (16 px extra for the x residual)
+_MO_BUCKETS = (12, 24)
 
 
 def pick_crop_size(f: float, range_bins: int) -> int | None:
-    """Smallest supported crop size D for scale*res = f, or None if the
-    fast path doesn't apply (use the exact gather).
-
-    Exact bound: stencil pixel offsets are round(off*f) with
-    |off| <= (range_bins-1)*f, and crop row py = d/2 + off must stay in
-    [0, d), so d >= 2*(max_off + 1)."""
+    """Smallest supported max-offset bucket for scale*res = f, or None if
+    the fast path doesn't apply (use the exact gather)."""
     max_off = int(np.ceil((range_bins - 1) * float(f)))
-    need = 2 * (max_off + 1)
-    for d in _D_BUCKETS:
-        if need <= d:
-            return d
+    for mo in _MO_BUCKETS:
+        if max_off <= mo:
+            return mo
     return None
 
 
-def tracked_p_tile(d: int) -> int:
-    # VMEM budget: 2x double-buffered crops + resident M(64, K) <= ~14 MB
-    return {32: 128, 48: 96, 64: 48}[d]
+def crop_dims(mo: int):
+    """(dr rows, dc col px) for a bucket: rows hold py = dr//2 + off_y in
+    [0, dr); cols hold px = rx + (dc-16)//2 + off_x in [0, dc)."""
+    dr = ((2 * mo + 2 + 7) // 8) * 8
+    dc = ((2 * mo + 17 + 15) // 16) * 16
+    return dr, dc
 
 
-def init_p_tile(d: int) -> int:
+def tracked_p_tile(mo: int) -> int:
+    # VMEM: 2x double-buffered crops + resident M(64, K) <= ~14 MB
+    return {12: 128, 24: 64}[mo]
+
+
+def init_p_tile(mo: int) -> int:
     # init-flavor M is 128-wide; smaller tiles (init steps are one-off)
-    return {32: 64, 48: 48, 64: 24}[d]
+    return {12: 64, 24: 32}[mo]
 
 
 from flax import struct
@@ -88,19 +96,17 @@ from flax import struct
 
 @struct.dataclass
 class PaddedMaps:
-    """Device-resident DMA-ready map stack; rebuild on map / d change."""
+    """Device-resident DMA-ready map stack; rebuild on map change."""
 
     stacked: jnp.ndarray  # (8, Hp, Wp*8) bf16 row-shifted copies
     hp: int = struct.field(pytree_node=False, default=0)
     wp: int = struct.field(pytree_node=False, default=0)
-    d: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
 
 
-def build_padded_maps(packed: jnp.ndarray, d: int) -> PaddedMaps:
+def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     """(H, W, 8) f32 -> zero-padded bf16 2D view stacked over 8 y-shifts.
     Zeros = dist 0 / known 0 = the reference's out-of-bounds values."""
-    pad = d
     p = jnp.pad(
         packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
     )
@@ -110,12 +116,13 @@ def build_padded_maps(packed: jnp.ndarray, d: int) -> PaddedMaps:
     hp = hp_full - 8
     stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
     return PaddedMaps(
-        stacked=stacked, hp=int(hp), wp=int(wp), d=int(d), pad=int(pad)
+        stacked=stacked, hp=int(hp), wp=int(wp), pad=int(pad)
     )
 
 
+
 def _build_base_t(
-    d: int,
+    mo: int,
     py: jnp.ndarray,
     px: jnp.ndarray,
     c: int,
@@ -128,13 +135,13 @@ def _build_base_t(
     TPU scatter is descriptor-bound (~75 ms for these shapes), so the
     stencil->K-row selection is expressed as a dense one-hot MXU matmul:
       base_T = circ2_T (s_cols, TR*8) @ onehot (TR*8, Kext)
-    with onehot[(i, ch), k] = (pix8[i] + ch == k), built chunk-by-chunk
-    (~26 MB per chunk)."""
+    with onehot[(i, ch), k] = (pix8[i] + ch == k), built chunk-by-chunk."""
+    dr, dc = crop_dims(mo)
     tr = py.shape[0]
-    kext = d * (d + RX) * C_PAD + RX * C_PAD
+    kext = dr * dc * C_PAD + RX * C_PAD
     n_cost = cost_cols.shape[1]
     n_norm = norm_cols.shape[1]
-    pix8 = (py * (d + RX) + px) * C_PAD  # (TR,)
+    pix8 = (py * dc + px) * C_PAD  # (TR,)
     rowvals = (
         pix8[:, None]
         + jax.lax.broadcasted_iota(jnp.int32, (tr, C_PAD), 1)
@@ -151,7 +158,7 @@ def _build_base_t(
     circ2_t = circ2.reshape(tr * C_PAD, s_cols).T.astype(jnp.bfloat16)
 
     n_chunks = 8
-    kc = kext // n_chunks
+    kc = -(-kext // (n_chunks * 128)) * 128
     parts = []
     for j in range(n_chunks):
         kidx = j * kc + jax.lax.broadcasted_iota(
@@ -163,7 +170,16 @@ def _build_base_t(
                 circ2_t, onehot, preferred_element_type=jnp.float32
             )
         )
-    return jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+    return jnp.concatenate(parts, axis=1)[:, :kext].astype(jnp.bfloat16)
+
+
+def _stencil_pix(stencil: jnp.ndarray, f, mo: int):
+    """Stencil offsets -> crop-pixel coordinates at rx=0."""
+    dr, dc = crop_dims(mo)
+    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
+    py = off[:, 0] + dr // 2
+    px = off[:, 1] + (dc - 16) // 2
+    return py, px
 
 
 def build_m_tracked(
@@ -171,19 +187,19 @@ def build_m_tracked(
     class_weights: jnp.ndarray,
     stencil: jnp.ndarray,
     f,
-    d: int,
+    mo: int,
 ) -> jnp.ndarray:
-    """(RX*N_GROUPS, K, 64) bf16 variants for tracked mode.
+    """(RX*N_GROUPS, 64, K) bf16 variants for tracked mode, transposed
+    so the kernel's manual M DMA slices along the 128-aligned K minor.
 
-    Variant (rx, g) columns: [0:16) cost at shifts [16g,16g+16),
+    Variant (rx, g) columns: [0:16) cost at shifts [16g, 16g+16),
     [16:32) norm at the same shifts, [32] known count."""
     c, th, r = scan.shape
+    dr, dc = crop_dims(mo)
+    k = dr * dc * C_PAD
     cost_circ, norm_circ = build_circulants(scan, class_weights)
     cost_circ = cost_circ.reshape(th * r * c, th)
-    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
-    py = off[:, 0] + d // 2
-    px = off[:, 1] + d // 2  # rx = 0 base
-    k = d * (d + RX) * C_PAD
+    py, px = _stencil_pix(stencil, f, mo)
 
     # per-group shift windows; the one-hot selection inside
     # _build_base_t is shared across the vmap (it doesn't depend on g)
@@ -191,7 +207,7 @@ def build_m_tracked(
         jnp.arange(N_GROUPS)[:, None] * GW + jnp.arange(GW)[None, :]
     ) % th  # (7, 16)
     base_t = jax.vmap(
-        lambda cc, nc: _build_base_t(d, py, px, c, cc, nc, 64)
+        lambda cc, nc: _build_base_t(mo, py, px, c, cc, nc, 64)
     )(
         jnp.moveaxis(cost_circ[:, cols], 1, 0),  # (7, TR*C, 16)
         jnp.moveaxis(norm_circ[:, cols], 1, 0),  # (7, TR, 16)
@@ -213,21 +229,20 @@ def build_m_init(
     class_weights: jnp.ndarray,
     stencil: jnp.ndarray,
     f,
-    d: int,
+    mo: int,
     num_rot: int = 40,
 ) -> jnp.ndarray:
-    """(RX, K, 128) bf16 for the theta-search mode: cols [0:num_rot)
+    """(RX, 128, K) bf16 for the theta-search mode: cols [0:num_rot)
     cost at the search shifts, [num_rot:2*num_rot) norm, [2*num_rot] kf."""
     c, th, r = scan.shape
+    dr, dc = crop_dims(mo)
+    k = dr * dc * C_PAD
     cost_circ, norm_circ = build_circulants(scan, class_weights)
     cost_circ = cost_circ.reshape(th * r * c, th)
     ssh = search_shifts(th, num_rot)
-    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
-    py = off[:, 0] + d // 2
-    px = off[:, 1] + d // 2
-    k = d * (d + RX) * C_PAD
+    py, px = _stencil_pix(stencil, f, mo)
     base_t = _build_base_t(
-        d, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128
+        mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128
     )  # (128, Kext)
     m = jnp.stack(
         [
@@ -241,13 +256,16 @@ def build_m_init(
 def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
     out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
-    *, d: int, p_tile: int,
+    *, mo: int, p_tile: int,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
-    crop DMAs (both the transfer and the per-particle issue cost on the
-    scalar core).  M is single-buffered and refetched only when the
-    variant changes - particles are sorted by variant."""
-    dx8 = (d + RX) * C_PAD
+    crop DMAs.  Crop-completion waits are batched on one per-slot
+    semaphore (DMA semaphores count bytes).  M is single-buffered and
+    refetched only when the variant changes (particles are sorted by
+    variant)."""
+    dr, dc = crop_dims(mo)
+    dc8 = dc * C_PAD
+    crop_bytes = p_tile * dr * dc8 * 2  # bf16
     i_tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     midx = midx_ref[i_tile]
@@ -269,11 +287,11 @@ def _kernel(
         return pltpu.make_async_copy(
             stacked_ref.at[
                 orig[i, 0],
-                pl.ds(orig[i, 1] * 8, d),
-                pl.ds(orig[i, 2] * 128, dx8),
+                pl.ds(orig[i, 1] * 8, dr),
+                pl.ds(orig[i, 2] * 128, dc8),
             ],
             crop_buf.at[s, i],
-            sems.at[s, i],
+            sems.at[s],
         )
 
     @pl.when(i_tile == 0)
@@ -298,12 +316,13 @@ def _kernel(
         m_dma().wait()
 
     prev_idx[0] = midx
-    jax.lax.fori_loop(
-        0, p_tile,
-        lambda i, _: (dma(origins_ref, i, slot).wait(), 0)[1],
-        0, unroll=True,
-    )
-    flat = crop_buf[slot].reshape(p_tile, d * dx8)
+    # one batched wait for all of this slot's crop bytes: a synthetic
+    # descriptor over the whole slot buffer waits for the same byte
+    # count the p_tile individual DMAs signalled on the shared sem
+    pltpu.make_async_copy(
+        crop_buf.at[slot], crop_buf.at[slot], sems.at[slot]
+    ).wait()
+    flat = crop_buf[slot].reshape(p_tile, dr * dc8)
     out_ref[...] = jax.lax.dot_general(
         flat,
         m_buf[...],
@@ -313,21 +332,22 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d", "p_tile", "s_cols", "interpret")
+    jax.jit, static_argnames=("mo", "p_tile", "s_cols", "interpret")
 )
 def _run_kernel(
     stacked: jnp.ndarray,
     origins: jnp.ndarray,
     midx: jnp.ndarray,
     m_var: jnp.ndarray,
-    d: int,
+    mo: int,
     p_tile: int,
     s_cols: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     n_tiles = n_pad // p_tile
-    k = d * (d + RX) * C_PAD
+    dr, dc = crop_dims(mo)
+    k = dr * dc * C_PAD
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -347,15 +367,15 @@ def _run_kernel(
         ],
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, p_tile, d, (d + RX) * C_PAD), jnp.bfloat16),
+            pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.bfloat16),
             pltpu.VMEM((s_cols, k), jnp.bfloat16),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, p_tile)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-    )
+        )
     return pl.pallas_call(
-        functools.partial(_kernel, d=d, p_tile=p_tile),
+        functools.partial(_kernel, mo=mo, p_tile=p_tile),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
         interpret=interpret,
@@ -393,19 +413,21 @@ def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
 def _origins(
     center_px: jnp.ndarray,
     maps: PaddedMaps,
+    mo: int,
     map_resolution: float,
 ):
     """Crop origin decomposition.  Returns (ry, y8, xe, rx, in_range)."""
-    d, pad = maps.d, maps.pad
+    dr, dc = crop_dims(mo)
+    pad = maps.pad
     cy = jnp.round(center_px[:, 1] / map_resolution).astype(jnp.int32)
     cx = jnp.round(center_px[:, 0] / map_resolution).astype(jnp.int32)
-    y0 = cy - d // 2 + pad
-    x0 = cx - d // 2 + pad
+    y0 = cy - dr // 2 + pad
+    x0 = cx - (dc - 16) // 2 + pad
     in_range = (
         (y0 >= 0)
-        & (y0 <= maps.hp - d)
+        & (y0 <= maps.hp - dr)
         & (x0 >= 0)
-        & (x0 <= maps.wp - d - RX)
+        & (x0 <= maps.wp - dc)
     )
     y0c = jnp.where(in_range, y0, 0)
     x0c = jnp.where(in_range, x0, 0)
@@ -416,88 +438,97 @@ def _origins(
     return ry, y8, xe, rx, in_range
 
 
-def score_tracked_fast(
-    maps: PaddedMaps,
-    stencil: jnp.ndarray,
-    scan: jnp.ndarray,
-    class_weights: jnp.ndarray,
-    center_px: jnp.ndarray,
-    theta: jnp.ndarray,
-    f,
-    map_resolution: float = 1.0,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Tracked-mode scoring: each particle at its own rotation shift.
+def make_score_tracked(mo: int, map_resolution: float = 1.0,
+                       interpret: bool = False):
+    """Returns a tracked-mode scorer specialized on the crop bucket."""
 
-    Returns (cost (N,), norm (N,), kf (N,)); caller computes
-    cost/norm and the NaN rule."""
-    th, r, _ = stencil.shape
-    d = maps.d
-    p_tile = tracked_p_tile(d)
-    m_var = build_m_tracked(scan, class_weights, stencil, f, d)
+    def score(maps, stencil, scan, class_weights, center_px, theta, f):
+        th, r, _ = stencil.shape
+        p_tile = tracked_p_tile(mo)
+        m_var = build_m_tracked(scan, class_weights, stencil, f, mo)
+        s = rotation_shift(theta, th)
+        g = s // GW
+        ry, y8, xe, rx, in_range = _origins(
+            center_px, maps, mo, map_resolution
+        )
+        key = (rx * N_GROUPS + g).astype(jnp.int32)
+        pos, tile_midx, n_pad = _group_layout(
+            key, RX * N_GROUPS, p_tile
+        )
+        origins = jnp.zeros((n_pad, 4), jnp.int32)
+        origins = origins.at[pos].set(
+            jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
+        )
+        out = _run_kernel(
+            maps.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
+            interpret,
+        )
+        # flat single-element gathers (row gathers of (N_pad, 64) are
+        # an order of magnitude slower on TPU)
+        flat = out.reshape(-1)
+        local = s - g * GW
+        base = pos * 64
+        cost = flat[base + local]
+        norm = flat[base + GW + local]
+        kf_cnt = flat[base + 2 * GW]
+        kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
+        cost = jnp.where(in_range, cost, 0.0)
+        norm = jnp.where(in_range, norm, 0.0)
+        return cost, norm, kf
 
-    s = rotation_shift(theta, th)
-    g = s // GW
-    ry, y8, xe, rx, in_range = _origins(center_px, maps, map_resolution)
-    key = (rx * N_GROUPS + g).astype(jnp.int32)
-    pos, tile_midx, n_pad = _group_layout(
-        key, RX * N_GROUPS, p_tile
-    )
-    origins = jnp.zeros((n_pad, 4), jnp.int32)
-    origins = origins.at[pos].set(
-        jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
-    )
-    out = _run_kernel(
-        maps.stacked, origins, tile_midx, m_var, d, p_tile, 64,
-        interpret,
-    )
-    rows = out[pos]  # (N, 64)
-    local = s - g * GW
-    cost = jnp.take_along_axis(rows, local[:, None], axis=1)[:, 0]
-    norm = jnp.take_along_axis(rows, (GW + local)[:, None], axis=1)[:, 0]
-    kf_cnt = rows[:, 2 * GW]
-    kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
-    cost = jnp.where(in_range, cost, 0.0)
-    norm = jnp.where(in_range, norm, 0.0)
-    return cost, norm, kf
+    return score
 
 
-def score_init_fast(
-    maps: PaddedMaps,
-    stencil: jnp.ndarray,
-    scan: jnp.ndarray,
-    class_weights: jnp.ndarray,
-    center_px: jnp.ndarray,
-    f,
-    num_rot: int = 40,
-    map_resolution: float = 1.0,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Theta-search scoring: every particle against the num_rot search
-    shifts.  Returns (costs (N, num_rot), norms (N, num_rot), kf (N,))."""
-    th, r, _ = stencil.shape
-    d = maps.d
-    p_tile = init_p_tile(d)
-    m_var = build_m_init(
-        scan, class_weights, stencil, f, d, num_rot
+def make_score_init(mo: int, num_rot: int = 40,
+                    map_resolution: float = 1.0,
+                    interpret: bool = False):
+    """Returns a theta-search scorer specialized on the crop bucket."""
+
+    def score(maps, stencil, scan, class_weights, center_px, f):
+        th, r, _ = stencil.shape
+        p_tile = init_p_tile(mo)
+        m_var = build_m_init(
+            scan, class_weights, stencil, f, mo, num_rot
+        )
+        ry, y8, xe, rx, in_range = _origins(
+            center_px, maps, mo, map_resolution
+        )
+        pos, tile_midx, n_pad = _group_layout(
+            rx.astype(jnp.int32), RX, p_tile
+        )
+        origins = jnp.zeros((n_pad, 4), jnp.int32)
+        origins = origins.at[pos].set(
+            jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
+        )
+        out = _run_kernel(
+            maps.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
+            interpret,
+        )
+        rows = out[pos]
+        costs = rows[:, :num_rot]
+        norms = rows[:, num_rot : 2 * num_rot]
+        kf_cnt = rows[:, 2 * num_rot]  # init mode: row gather is needed
+        kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
+        costs = jnp.where(in_range[:, None], costs, 0.0)
+        norms = jnp.where(in_range[:, None], norms, 0.0)
+        return costs, norms, kf
+
+    return score
+
+
+def score_tracked_fast_mo(
+    maps, stencil, scan, class_weights, center_px, theta, f, mo,
+    map_resolution=1.0, interpret=False,
+):
+    return make_score_tracked(mo, map_resolution, interpret)(
+        maps, stencil, scan, class_weights, center_px, theta, f
     )
-    ry, y8, xe, rx, in_range = _origins(center_px, maps, map_resolution)
-    pos, tile_midx, n_pad = _group_layout(
-        rx.astype(jnp.int32), RX, p_tile
+
+
+def score_init_fast_mo(
+    maps, stencil, scan, class_weights, center_px, f, mo,
+    num_rot=40, map_resolution=1.0, interpret=False,
+):
+    return make_score_init(mo, num_rot, map_resolution, interpret)(
+        maps, stencil, scan, class_weights, center_px, f
     )
-    origins = jnp.zeros((n_pad, 4), jnp.int32)
-    origins = origins.at[pos].set(
-        jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
-    )
-    out = _run_kernel(
-        maps.stacked, origins, tile_midx, m_var, d, p_tile, 128,
-        interpret,
-    )
-    rows = out[pos]
-    costs = rows[:, :num_rot]
-    norms = rows[:, num_rot : 2 * num_rot]
-    kf_cnt = rows[:, 2 * num_rot]
-    kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
-    costs = jnp.where(in_range[:, None], costs, 0.0)
-    norms = jnp.where(in_range[:, None], norms, 0.0)
-    return costs, norms, kf

@@ -150,7 +150,6 @@ def propagate(
     multiplicative noise N(1, min(2/dist, 0.02)) unless frozen (:71-74).
     """
     n = particles.n_max
-    k_theta, k_pos, k_scale = jax.random.split(key, 3)
 
     c, s = jnp.cos(particles.theta), jnp.sin(particles.theta)
     tg_x = c * trans[0] - s * trans[1]
@@ -158,20 +157,19 @@ def propagate(
     dist = jnp.sqrt(trans[0] ** 2 + trans[1] ** 2)
 
     last_pos = particles.d_m
-    noise_pos = (
-        jax.random.normal(k_pos, (n, 2)) * (params.pos_cov * dist)
-    )
+    noise = jax.random.normal(key, (n, 4))  # one fused RNG draw
+    noise_pos = noise[:, :2] * (params.pos_cov * dist)
     new_d_m = (
         particles.d_m + jnp.stack([tg_x, tg_y], axis=-1) + noise_pos
     )
     new_theta = (
         particles.theta
-        + jax.random.normal(k_theta, (n,)) * (params.theta_cov * dist)
+        + noise[:, 2] * (params.theta_cov * dist)
         + omega
     )
 
     scale_sigma = jnp.minimum(2.0 / jnp.maximum(dist, 1e-20), 0.02)
-    scale_noise = 1.0 + jax.random.normal(k_scale, (n,)) * scale_sigma
+    scale_noise = 1.0 + noise[:, 3] * scale_sigma
     new_scale = jnp.where(
         scale_frozen, particles.scale, particles.scale * scale_noise
     )

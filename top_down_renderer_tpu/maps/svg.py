@@ -161,6 +161,15 @@ def _parse_length(s: str | None) -> float:
     return float(m.group(0)) if m else 0.0
 
 
+def _color_to_raw_map(color_lut, flatten_lut) -> Dict[int, int]:
+    color_to_raw: Dict[int, int] = {}
+    for raw in range(len(flatten_lut)):
+        if raw < color_lut.shape[0] and flatten_lut[raw] >= 0:
+            r, g, b = (int(v) for v in color_lut[raw][:3])
+            color_to_raw.setdefault(r << 16 | g << 8 | b, raw)
+    return color_to_raw
+
+
 def load_svg(
     svg_path: str,
     color_lut: np.ndarray,
@@ -173,8 +182,30 @@ def load_svg(
     raw class whose LUT color equals the shape's fill, then flattened via
     flatten_lut; vertices are (x, height - y).
 
+    Uses the native C++ parser (maps/native.py) when available, else the
+    pure-Python fallback below.
+
     Returns ((width, height), polys_per_class).
     """
+    from top_down_renderer_tpu.maps import native
+
+    nat = native.parse_svg(svg_path) if native.available() else None
+    if nat is not None:
+        (width, height), raw_polys, fills = nat
+        color_to_raw = _color_to_raw_map(color_lut, flatten_lut)
+        polys: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
+        for poly, fill in zip(raw_polys, fills):
+            raw = color_to_raw.get(int(fill))
+            if raw is None:
+                continue
+            flat = int(flatten_lut[raw])
+            if not (0 <= flat < num_classes):
+                continue
+            flipped = poly.copy()
+            flipped[:, 1] = height - flipped[:, 1]
+            polys[flat].append(flipped)
+        return (width, height), polys
+
     tree = ET.parse(svg_path)
     root = tree.getroot()
     width = _parse_length(root.get("width"))
