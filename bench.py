@@ -45,10 +45,15 @@ def main():
     c = 6
     theta_bins, range_bins = 100, 25
 
+    # converged-tracking cloud: clustered in a ~100 px region (the
+    # adaptive particle count + resampling concentrate the cloud after
+    # convergence; this is the serving regime the target describes)
+    extent = int(os.environ.get("BENCH_EXTENT", 100))
     (state, packed, map_size, stencil, scan, res, _params) = (
         ge._synthetic_setup(
             n, h=hw, w=hw, c=c, theta_bins=theta_bins,
             range_bins=range_bins,
+            cluster=(hw // 2, hw // 2, extent) if extent > 0 else None,
         )
     )
     state = state.replace(
@@ -68,12 +73,17 @@ def main():
             chunk_size=chunk,
         )
         map_arg = packed
+        path = "exact"
     else:
+        from top_down_renderer_tpu.filter import conv_score as cs
+
         mo = ps.pick_crop_size(scale * res_v, range_bins)
+        region = cs.pick_region(extent + 16) if extent > 0 else None
+        path = "conv" if region else "crop"
         update = make_update_step_fast(
             params, grid_num_classes=c, map_resolution=1.0,
             theta_bins=theta_bins, n_max=n, mode="tracked", mo=mo,
-            gmm_every=10,
+            gmm_every=10, path=path, region=region or 0,
         )
         map_arg = ps.build_padded_maps(packed)
 
@@ -118,7 +128,7 @@ def main():
                 "extra": {
                     "particles_scored_per_s": int(particles_per_s),
                     "step_ms": round(1000 * dt / steps, 2),
-                    "map": f"{hw}x{hw}x{c}",
+                    "map": f"{hw}x{hw}x{c}", "path": path, "extent": extent,
                     "device": str(jax.devices()[0]),
                 },
             }

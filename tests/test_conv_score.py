@@ -1,0 +1,117 @@
+"""Conv grid-scoring parity vs the exact gather path (CPU; the conv
+path is pure XLA, unlike the Pallas crop kernel)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from top_down_renderer_tpu.filter import conv_score as cs
+from top_down_renderer_tpu.filter import pallas_score as ps
+from top_down_renderer_tpu.filter.scoring import (
+    rotation_shift,
+    score_all_rotations,
+    search_shifts,
+)
+from top_down_renderer_tpu.maps.polar import polar_stencil
+
+TH, R, C = 100, 25, 3
+
+
+def _setup(seed=0, h=256, w=256, n=512):
+    rng = np.random.default_rng(seed)
+    packed = np.zeros((h, w, 8), np.float32)
+    packed[..., :C] = rng.random((h, w, C)) * 50
+    packed[..., C] = (rng.random((h, w)) < 0.9).astype(np.float32)
+    stencil = jnp.asarray(polar_stencil(TH, R))
+    scan = jnp.asarray(rng.random((C, TH, R)) * 3, jnp.float32)
+    cw = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    centers = (
+        np.array([100.0, 120.0])
+        + rng.integers(0, 60, (n, 2))
+    ).astype(np.float32)
+    thetas = (rng.random(n) * 2 * np.pi).astype(np.float32)
+    return packed, stencil, scan, cw, centers, thetas
+
+
+def test_conv_tracked_matches_exact():
+    f = 1.0  # integer f + integer centers -> identical NN sampling
+    mo = ps.pick_crop_size(f, R)
+    packed, stencil, scan, cw, centers, thetas = _setup()
+    maps = ps.build_padded_maps(jnp.asarray(packed))
+    scorer = cs.make_conv_scorer(mo, 64, "tracked")
+    alive = jnp.ones(len(centers), bool)
+    num, den, kf = scorer(
+        maps.padded3d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers), jnp.asarray(thetas), f, alive,
+    )
+    cost = np.asarray(num / den)
+
+    costs_e, kf_e = score_all_rotations(
+        jnp.asarray(packed), stencil, scan, cw,
+        jnp.asarray(centers),
+        jnp.full(len(centers), 2.0, np.float32),
+        jnp.asarray(0.5), num_classes=C, map_resolution=1.0,
+        chunk_size=len(centers),
+    )
+    s = np.asarray(rotation_shift(jnp.asarray(thetas), TH))
+    ref = np.asarray(costs_e)[np.arange(len(centers)), s]
+    m = ~np.isnan(ref)
+    assert m.any()
+    np.testing.assert_allclose(
+        cost[m], ref[m], rtol=3e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kf), np.asarray(kf_e), atol=1e-5
+    )
+    # NaN rule agreement
+    conv_nan = np.asarray(kf) < 0.5
+    np.testing.assert_array_equal(conv_nan, np.isnan(ref))
+
+
+def test_conv_init_matches_exact():
+    f = 1.0
+    mo = ps.pick_crop_size(f, R)
+    packed, stencil, scan, cw, centers, thetas = _setup(seed=1)
+    maps = ps.build_padded_maps(jnp.asarray(packed))
+    scorer = cs.make_conv_scorer(mo, 64, "init")
+    alive = jnp.ones(len(centers), bool)
+    nums, dens, kf = scorer(
+        maps.padded3d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers), jnp.asarray(thetas), f, alive,
+    )
+    costs = np.asarray(nums / dens)
+    costs_e, _ = score_all_rotations(
+        jnp.asarray(packed), stencil, scan, cw,
+        jnp.asarray(centers),
+        jnp.full(len(centers), 1.0, np.float32),
+        jnp.asarray(1.0), num_classes=C, map_resolution=1.0,
+        chunk_size=len(centers),
+    )
+    ssh = np.asarray(search_shifts(TH, 40))
+    ref = np.asarray(costs_e)[:, ssh]
+    m = ~np.isnan(ref)
+    np.testing.assert_allclose(costs[m], ref[m], rtol=3e-3, atol=1e-5)
+
+
+def test_region_origin_ignores_dead_particles():
+    f = 1.0
+    mo = ps.pick_crop_size(f, R)
+    packed, stencil, scan, cw, centers, thetas = _setup(seed=2, n=64)
+    maps = ps.build_padded_maps(jnp.asarray(packed))
+    scorer = cs.make_conv_scorer(mo, 64, "tracked")
+    alive = jnp.ones(64, bool)
+    # a dead outlier far away must not shift the region
+    centers2 = centers.copy()
+    centers2[0] = (5.0, 5.0)
+    alive2 = alive.at[0].set(False)
+    _, _, kf_a = scorer(
+        maps.padded3d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers), jnp.asarray(thetas), f, alive,
+    )
+    _, _, kf_b = scorer(
+        maps.padded3d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers2), jnp.asarray(thetas), f, alive2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kf_a)[1:], np.asarray(kf_b)[1:], atol=1e-6
+    )

@@ -1,0 +1,199 @@
+"""Convolutional grid scoring: the clustered-particle fast path.
+
+After convergence the particle cloud occupies a small map region (the
+adaptive count keeps ~3/4 n + 10 particles in a tight cluster,
+particle_filter.cpp:151-158).  In that regime, evaluating the cost at
+every integer center of the bounding region is cheaper than per-particle
+work: the stencil-folded circulant matrix M (see pallas_score) reshapes
+directly into a convolution kernel, so
+
+    field[y, x, s] = sum_{dy, dx, c} K[dy, dx, c, s] * map[y+dy, x+dx, c]
+
+is ONE XLA conv on the MXU (output channels = costs at all shifts +
+norms + known-count), and each particle just reads
+field[round(cy), round(cx), shift] - three single-element gathers.
+
+Sampling semantics are identical to the Pallas crop path: NN at
+round(center) + round(offset * scale * res).  No DMA alignment games:
+convs slide at 1-pixel granularity.
+
+Used when the alive-particle bounding box fits a region bucket; the
+Pallas crop path covers the spread case and the exact gather covers
+everything else.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from top_down_renderer_tpu.filter.pallas_score import (
+    C_PAD,
+    PaddedMaps,
+    _build_base_t,
+    crop_dims,
+    _stencil_pix,
+)
+from top_down_renderer_tpu.filter.scoring import (
+    build_circulants,
+    rotation_shift,
+    search_shifts,
+)
+
+# output-region buckets (cost-field height/width in px)
+REGION_BUCKETS = (64, 128, 192, 256)
+
+
+def pick_region(extent: int) -> int | None:
+    for b in REGION_BUCKETS:
+        if extent <= b:
+            return b
+    return None
+
+
+def build_conv_kernel(
+    scan: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    stencil: jnp.ndarray,
+    f,
+    mo: int,
+    mode: str,
+    num_rot: int = 40,
+) -> jnp.ndarray:
+    """(dr, dc, 8, S_out) bf16 conv kernel (HWIO).
+
+    tracked: S_out = 224 -> [0:100) costs | [100:200) norms | [200] kf.
+    init:    S_out = 96  -> [0:40) costs | [40:80) norms | [80] kf.
+    """
+    c, th, r = scan.shape
+    dr, dc = crop_dims(mo)
+    cost_circ, norm_circ = build_circulants(scan, class_weights)
+    cost_circ = cost_circ.reshape(th * r * c, th)
+    py, px = _stencil_pix(stencil, f, mo)
+    if mode == "tracked":
+        base = _build_base_t(mo, py, px, c, cost_circ, norm_circ, 224)
+    else:
+        ssh = search_shifts(th, num_rot)
+        base = _build_base_t(
+            mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 96
+        )
+    s_out = base.shape[0]
+    k = dr * dc * C_PAD
+    return (
+        base[:, :k].reshape(s_out, dr, dc, C_PAD)
+        .transpose(1, 2, 3, 0)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mo", "region", "s_out"),
+)
+def cost_field(
+    padded3d: jnp.ndarray,
+    kernel: jnp.ndarray,
+    origin_yx: jnp.ndarray,
+    mo: int,
+    region: int,
+    s_out: int,
+) -> jnp.ndarray:
+    """Evaluate the cost field over a (region, region) block of centers
+    whose top-left center is origin_yx (padded coords).
+
+    Returns (region, region, s_out) f32: field[y, x] corresponds to the
+    center at padded (origin_y + y, origin_x + x)."""
+    dr, dc = crop_dims(mo)
+    # center (y, x) reads crop rows [y - dr//2, ...), cols
+    # [x - (dc-16)//2, ...): the crop path's origin decomposition with
+    # rx = 0 (conv slides at 1 px, so no residual)
+    oy = origin_yx[0] - dr // 2
+    ox = origin_yx[1] - (dc - 16) // 2
+    block = jax.lax.dynamic_slice(
+        padded3d,
+        (oy, ox, 0),
+        (region + dr - 1, region + dc - 1, C_PAD),
+    )
+    out = jax.lax.conv_general_dilated(
+        block[None].astype(jnp.bfloat16),
+        kernel,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+def make_conv_scorer(
+    mo: int,
+    region: int,
+    mode: str,
+    num_rot: int = 40,
+    map_resolution: float = 1.0,
+):
+    """Returns score(maps3d: PaddedMaps-like padded3d array, stencil,
+    scan, cw, centers, theta, f) for the clustered regime.
+
+    The caller guarantees every alive particle's rounded center falls in
+    a (region, region) box (host-checked); stragglers are clamped to the
+    box edge and will score as if at the edge (callers fall back to the
+    crop path when the cloud doesn't fit)."""
+
+    def score(padded3d, pad, stencil, scan, class_weights, center_px,
+              theta, f, alive):
+        th, r, _ = stencil.shape
+        kernel = build_conv_kernel(
+            scan, class_weights, stencil, f, mo, mode, num_rot
+        )
+        cy = jnp.round(center_px[:, 1] / map_resolution).astype(
+            jnp.int32
+        ) + pad
+        cx = jnp.round(center_px[:, 0] / map_resolution).astype(
+            jnp.int32
+        ) + pad
+        hp, wp, _ = padded3d.shape
+        dr, dc = crop_dims(mo)
+        # region origin: min over ALIVE particles (dead slots are stale
+        # resample leftovers anywhere on the map), clamped to fit
+        big = jnp.int32(1 << 30)
+        oy = jnp.clip(
+            jnp.min(jnp.where(alive, cy, big)),
+            dr // 2,
+            hp - (region + dr - 1) + dr // 2,
+        )
+        ox = jnp.clip(
+            jnp.min(jnp.where(alive, cx, big)),
+            (dc - 16) // 2,
+            wp - (region + dc - 1) + (dc - 16) // 2,
+        )
+        field = cost_field(
+            padded3d,
+            kernel,
+            jnp.stack([oy, ox]),
+            mo,
+            region,
+            kernel.shape[-1],
+        )
+        iy = jnp.clip(cy - oy, 0, region - 1)
+        ix = jnp.clip(cx - ox, 0, region - 1)
+        flat = field.reshape(-1)
+        s_out = kernel.shape[-1]
+        base = (iy * region + ix) * s_out
+        if mode == "tracked":
+            s = rotation_shift(theta, th)
+            cost = flat[base + s]
+            norm = flat[base + th + s]
+            kf = flat[base + 2 * th] / (th * r)
+            return cost, norm, kf
+        # init: gather all num_rot shifts per particle
+        idx = base[:, None] + jnp.arange(num_rot)[None, :]
+        costs = flat[idx]
+        norms = flat[idx + num_rot]
+        kf = flat[base + 2 * num_rot] / (th * r)
+        return costs, norms, kf
+
+    return score

@@ -247,16 +247,28 @@ def make_update_step_fast(
     k_max: int = 8,
     gmm_every: int = 1,
     tail_fn=None,
+    path: str = "crop",  # "crop" (Pallas) | "conv" (clustered grid)
+    region: int = 128,
 ):
-    """Update using the Pallas crop-correlate fast path (uniform scale):
-    a jitted scoring stage + the shared jitted tail (two dispatches; both
-    stay on device).  res and scale are traced (f = scale*res changes
-    without recompile); only the crop bucket mo is static."""
+    """Update using a fast scoring path (uniform scale): a jitted scoring
+    stage + the shared jitted tail (two dispatches; both stay on device).
+    res and scale are traced (f = scale*res changes without recompile);
+    only the crop bucket mo (and conv region) are static.
+
+    path="crop": Pallas per-particle crop DMA kernel - any spatial
+    spread.  path="conv": one XLA conv cost-field over the particle
+    bounding region - much faster when the cloud is clustered (the
+    converged regime)."""
     from top_down_renderer_tpu.filter import pallas_score as ps
+    from top_down_renderer_tpu.filter import conv_score as cs
 
     class_weights = _pad_class_weights(params, grid_num_classes)
     if tail_fn is None:
         tail_fn = make_tail_fn(params, n_max, k_max, gmm_every)
+    if path == "conv":
+        conv_scorer = cs.make_conv_scorer(
+            mo, region, mode, params.num_rot_search, map_resolution
+        )
 
     @jax.jit
     def score(
@@ -269,17 +281,29 @@ def make_update_step_fast(
         p = particles
         f = p.scale[0] * res  # uniform by contract
         if mode == "tracked":
-            num, den, kf = ps.score_tracked_fast_mo(
-                maps, stencil, scan, class_weights, p.pose_px(),
-                p.theta, f, mo, map_resolution,
-            )
+            if path == "conv":
+                num, den, kf = conv_scorer(
+                    maps.padded3d, maps.pad, stencil, scan,
+                    class_weights, p.pose_px(), p.theta, f, p.alive,
+                )
+            else:
+                num, den, kf = ps.score_tracked_fast_mo(
+                    maps, stencil, scan, class_weights, p.pose_px(),
+                    p.theta, f, mo, map_resolution,
+                )
             cost = num / den
             cost = jnp.where(kf < 0.5, jnp.nan, cost)
             return cost, p.theta
-        nums, dens, kf = ps.score_init_fast_mo(
-            maps, stencil, scan, class_weights, p.pose_px(),
-            f, mo, params.num_rot_search, map_resolution,
-        )
+        if path == "conv":
+            nums, dens, kf = conv_scorer(
+                maps.padded3d, maps.pad, stencil, scan, class_weights,
+                p.pose_px(), p.theta, f, p.alive,
+            )
+        else:
+            nums, dens, kf = ps.score_init_fast_mo(
+                maps, stencil, scan, class_weights, p.pose_px(),
+                f, mo, params.num_rot_search, map_resolution,
+            )
         costs = nums / dens
         costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
         # host only selects this mode when NO particle has init
@@ -496,10 +520,29 @@ class ParticleFilter:
         have = np.asarray(self.state.particles.have_init)
         alive = np.asarray(self.state.particles.alive)
         if np.all(have[alive]):
-            return ("tracked", mo, scale)
-        if not np.any(have[alive]):
-            return ("init", mo, scale)
-        return None
+            mode = "tracked"
+        elif not np.any(have[alive]):
+            mode = "init"
+        else:
+            return None
+
+        # clustered cloud -> conv cost-field path
+        from top_down_renderer_tpu.filter import conv_score as cs
+
+        path, region = "crop", 0
+        if alive.any():
+            pose = np.asarray(self.state.particles.pose_px())[alive]
+            ipose = np.round(pose / self.map.resolution)
+            extent = int(
+                max(
+                    ipose[:, 0].max() - ipose[:, 0].min(),
+                    ipose[:, 1].max() - ipose[:, 1].min(),
+                )
+            ) + 1
+            r = cs.pick_region(extent)
+            if r is not None:
+                path, region = "conv", r
+        return (mode, mo, scale, path, region)
 
     def _get_padded_maps(self):
         from top_down_renderer_tpu.filter import pallas_score as ps
@@ -511,8 +554,10 @@ class ParticleFilter:
             }
         return self._maps_cache[key]
 
-    def _get_fast_fn(self, mode: str, mo: int):
-        key = (mode, mo)
+    def _get_fast_fn(
+        self, mode: str, mo: int, path: str = "crop", region: int = 0
+    ):
+        key = (mode, mo, path, region)
         if key not in self._fast_fns:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
@@ -528,6 +573,8 @@ class ParticleFilter:
                 mo=mo,
                 gmm_every=self.gmm_every,
                 tail_fn=self._tail_fn,
+                path=path,
+                region=region,
             )
         return self._fast_fns[key]
 
@@ -545,8 +592,8 @@ class ParticleFilter:
         stencil = jnp.asarray(self.map.stencil)
         fast = self._fast_mode(float(res))
         if fast is not None:
-            mode, mo, _scale = fast
-            self.state = self._get_fast_fn(mode, mo)(
+            mode, mo, _scale, path, region = fast
+            self.state = self._get_fast_fn(mode, mo, path, region)(
                 self.state,
                 self._get_padded_maps(),
                 map_size_scaled,

@@ -99,6 +99,7 @@ class PaddedMaps:
     """Device-resident DMA-ready map stack; rebuild on map change."""
 
     stacked: jnp.ndarray  # (8, Hp, Wp*8) bf16 row-shifted copies
+    padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
     hp: int = struct.field(pytree_node=False, default=0)
     wp: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
@@ -116,7 +117,8 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     hp = hp_full - 8
     stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
     return PaddedMaps(
-        stacked=stacked, hp=int(hp), wp=int(wp), pad=int(pad)
+        stacked=stacked, padded3d=p[:hp], hp=int(hp), wp=int(wp),
+        pad=int(pad),
     )
 
 

@@ -18,6 +18,35 @@ import jax.numpy as jnp
 from top_down_renderer_tpu.core.grids import Particles
 
 
+def _systematic_indices(
+    weights: jnp.ndarray,
+    n_new: jnp.ndarray,
+    n_active_old: jnp.ndarray,
+    shift: jnp.ndarray,
+) -> jnp.ndarray:
+    """Source index per output slot, j[i] = first src with cumsum > u_i.
+
+    Because both u_i = (i+shift)/n_new and the cumsum are sorted, this is
+    computed WITHOUT searchsorted (whose log-N gather rounds dominate the
+    resample cost on TPU): per-source output counts via the inverse CDF,
+    then segment starts scattered and forward-filled with a cummax.
+    """
+    n = weights.shape[0]
+    csum = jnp.cumsum(weights)
+    nn = jnp.maximum(n_new, 1).astype(jnp.float32)
+    # F[j] = #outputs assigned to sources <= j = #{i: u_i < csum[j]}
+    f = jnp.clip(
+        jnp.ceil(csum * nn - shift), 0.0, nn
+    ).astype(jnp.int32)
+    f_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), f[:-1]])
+    has = f > f_prev  # sources with at least one output
+    src = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(has, f_prev, n)  # drop empty sources
+    seg = jnp.zeros(n, jnp.int32).at[pos].max(src, mode="drop")
+    j = jax.lax.cummax(seg)
+    return jnp.minimum(j, jnp.maximum(n_active_old - 1, 0))
+
+
 def systematic_resample(
     particles: Particles,
     weights: jnp.ndarray,
@@ -28,11 +57,7 @@ def systematic_resample(
     """Returns the resampled particle set with n_new alive particles."""
     n = particles.n_max
     shift = jax.random.uniform(key)
-    i = jnp.arange(n, dtype=jnp.float32)
-    u = (i + shift) / jnp.maximum(n_new, 1).astype(jnp.float32)
-    csum = jnp.cumsum(weights)
-    j = jnp.searchsorted(csum, u, side="right")
-    j = jnp.minimum(j, jnp.maximum(n_active_old - 1, 0))
+    j = _systematic_indices(weights, n_new, n_active_old, shift)
 
     alive = jnp.arange(n) < n_new
     take = lambda a: jnp.take(a, j, axis=0)

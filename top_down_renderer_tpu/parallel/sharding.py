@@ -200,14 +200,16 @@ def make_sharded_step(
 
         # --- systematic resample: this shard fills slots
         #     [my*n_local, (my+1)*n_local) ---
+        from top_down_renderer_tpu.filter.resample import (
+            _systematic_indices,
+        )
+
         shift = jax.random.uniform(k_rs)  # same key on all shards
         i = my * n_local + jnp.arange(n_local, dtype=jnp.int32)
-        u = (i.astype(jnp.float32) + shift) / jnp.maximum(
-            n_new, 1
-        ).astype(jnp.float32)
-        csum = jnp.cumsum(w_g)
-        j = jnp.searchsorted(csum, u, side="right")
-        j = jnp.minimum(j, jnp.maximum(state.n_active - 1, 0))
+        j_all = _systematic_indices(
+            w_g, n_new, state.n_active, shift
+        )
+        j = jax.lax.dynamic_slice(j_all, (my * n_local,), (n_local,))
         alive = i < n_new
         take = lambda a: jnp.take(a, j, axis=0)
         new_p = Particles(
