@@ -22,6 +22,7 @@ at (y, x) reads every class distance plus the mask in a single vector.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -365,6 +366,48 @@ class TopDownMap:
         )
         known = np.where(valid, packed[..., self.num_classes], 0.0)
         mask = 1.0 - known  # 1 = unknown or out of bounds
+        return np.moveaxis(dists, -1, 0), mask
+
+    def get_local_map_cartesian(
+        self,
+        center_xy_px: Sequence[float],
+        rot: float,
+        res: float,
+        h: int,
+        w: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Rotated Cartesian local-window gather
+        (TopDownMap::getLocalMap, top_down_map.cpp:429-459): an (h, w)
+        grid of samples centered on `center`, rotated by `rot`, spaced
+        `res`; out-of-bounds -> dist 0 / mask 1.
+
+        Returns (dists (C, h, w), mask (h, w))."""
+        g = self.grid
+        # samplePts grid (top_down_map.cpp:367-389): row coord first
+        yy = res * (np.arange(h) - (h - 1) / 2.0)
+        xx = res * (np.arange(w) - (w - 1) / 2.0)
+        py, px = np.meshgrid(yy, xx, indexing="ij")
+        c, s = math.cos(rot), math.sin(rot)
+        ry = c * py - s * px
+        rx = s * py + c * px
+        rows = np.rint(
+            ry + center_xy_px[1] / self.params.resolution
+        ).astype(np.int64)
+        cols = np.rint(
+            rx + center_xy_px[0] / self.params.resolution
+        ).astype(np.int64)
+        valid = (
+            (rows >= 0) & (rows < g.height) & (cols >= 0) & (cols < g.width)
+        )
+        rc = np.clip(rows, 0, g.height - 1)
+        cc_ = np.clip(cols, 0, g.width - 1)
+        packed = np.asarray(g.dist)[rc, cc_]
+        dists = np.where(
+            valid[..., None], packed[..., : self.num_classes], 0.0
+        )
+        mask = np.where(
+            valid, 1.0 - packed[..., self.num_classes], 1.0
+        )
         return np.moveaxis(dists, -1, 0), mask
 
     def get_local_geo_map(

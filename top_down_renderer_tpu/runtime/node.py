@@ -399,6 +399,27 @@ class TopDownRenderNode:
         raw[allsame] = 255
         return self.class_config.ind_to_color(raw)
 
+    def visualize_analog(
+        self, cls_img: np.ndarray, scale: float
+    ) -> np.ndarray:
+        """Grayscale visualization of a single analog field
+        (visualizeAnalog, top_down_render.cpp:266-273)."""
+        g = np.clip(cls_img * (255.0 / scale), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+
+    def publish_local_map(
+        self, h: int, w: int, center, res: float, cls: int = 1
+    ) -> np.ndarray:
+        """Debug local-map render (publishLocalMap,
+        top_down_render.cpp:308-329): rotated Cartesian window of one
+        class's distance field as a grayscale image."""
+        dists, _mask = self.map.get_local_map_cartesian(
+            center, 0.0, res, h, w
+        )
+        img = self.visualize_analog(dists[cls], 50.0)
+        self._publish("scan", img)
+        return img
+
     def visualize_map(self) -> Optional[np.ndarray]:
         """Particle / GMM / ML overlay on the background map
         (ParticleFilter::visualize, particle_filter.cpp:373-423)."""
