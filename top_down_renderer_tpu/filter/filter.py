@@ -513,9 +513,14 @@ class ParticleFilter:
             scale = float(self.state.particles.scale[0])
         else:
             return None
+        from top_down_renderer_tpu.filter import conv_score as cs
+
         range_bins = self.map.stencil.shape[1]
-        mo = ps.pick_crop_size(scale * res, range_bins)
-        if mo is None:
+        mo_crop = ps.pick_crop_size(scale * res, range_bins)
+        mo_conv = ps.pick_crop_size(
+            scale * res, range_bins, ps._MO_BUCKETS_CONV
+        )
+        if mo_crop is None and mo_conv is None:
             return None
         have = np.asarray(self.state.particles.have_init)
         alive = np.asarray(self.state.particles.alive)
@@ -527,10 +532,8 @@ class ParticleFilter:
             return None
 
         # clustered cloud -> conv cost-field path
-        from top_down_renderer_tpu.filter import conv_score as cs
-
-        path, region = "crop", 0
-        if alive.any():
+        region = None
+        if alive.any() and mo_conv is not None:
             pose = np.asarray(self.state.particles.pose_px())[alive]
             ipose = np.round(pose / self.map.resolution)
             extent = int(
@@ -539,10 +542,12 @@ class ParticleFilter:
                     ipose[:, 1].max() - ipose[:, 1].min(),
                 )
             ) + 1
-            r = cs.pick_region(extent)
-            if r is not None:
-                path, region = "conv", r
-        return (mode, mo, scale, path, region)
+            region = cs.pick_region(extent)
+        if region is not None:
+            return (mode, mo_conv, scale, "conv", region)
+        if mo_crop is not None:
+            return (mode, mo_crop, scale, "crop", 0)
+        return None
 
     def _get_padded_maps(self):
         from top_down_renderer_tpu.filter import pallas_score as ps

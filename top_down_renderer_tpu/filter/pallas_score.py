@@ -60,14 +60,19 @@ MAP_PAD = 64  # zero border on the stacked maps; bounds the max crop
 # crop-size buckets keyed by the max stencil pixel offset mo: the crop is
 # RECTANGULAR - rows dr = roundup8(2*mo+2) (8-aligned DMA rows), cols
 # dc = roundup16(2*mo+17) (16 px extra for the x residual)
-_MO_BUCKETS = (12, 24)
+_MO_BUCKETS = (12, 24)  # Pallas crop path (p_tile tables below)
+# the conv path has no DMA-alignment or VMEM constraints, so it supports
+# larger range scales (kernel size grows ~mo^2)
+_MO_BUCKETS_CONV = (12, 24, 36, 48)
 
 
-def pick_crop_size(f: float, range_bins: int) -> int | None:
+def pick_crop_size(
+    f: float, range_bins: int, buckets=_MO_BUCKETS
+) -> int | None:
     """Smallest supported max-offset bucket for scale*res = f, or None if
     the fast path doesn't apply (use the exact gather)."""
     max_off = int(np.ceil((range_bins - 1) * float(f)))
-    for mo in _MO_BUCKETS:
+    for mo in buckets:
         if max_off <= mo:
             return mo
     return None
