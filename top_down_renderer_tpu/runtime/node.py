@@ -248,10 +248,14 @@ class TopDownRenderNode:
             print("[tdr-tpu] No map received yet")
             return
         t0 = time.perf_counter()
+        # res must be a traced array: a python float would bake into the
+        # compiled graph and the adaptive range scale changes every step
+        res_j = jnp.asarray(self.current_range_scale, dtype=jnp.float32)
+        pts_j = jnp.asarray(points, dtype=jnp.float32)
         scan = render_semantic_polar(
-            jnp.asarray(points, dtype=jnp.float32),
+            pts_j,
             self.flatten_lut,
-            self.current_range_scale,
+            res_j,
             2 * math.pi / self.rt.theta_bins,
             self.class_config.num_classes,
             self.rt.theta_bins,
@@ -260,8 +264,8 @@ class TopDownRenderNode:
         # geometric render computed for parity; scoring-off like the
         # reference (top_down_render.cpp:540)
         geo = render_geometric_polar(
-            jnp.asarray(points, dtype=jnp.float32),
-            self.current_range_scale,
+            pts_j,
+            res_j,
             2 * math.pi / self.rt.theta_bins,
             self.rt.theta_bins,
             self.rt.range_bins,
