@@ -140,3 +140,6 @@ class FilterState:
     gmm: GMMState
     key: Any  # jax PRNG key <- the shared mt19937 (particle_filter.cpp:4-5)
     step: jnp.ndarray  # scalar int32 step counter
+    # alive-pose bounding box (min_x, min_y, max_x, max_y) px, kept on
+    # device so the host dispatch reads 16 bytes instead of the cloud
+    bbox: jnp.ndarray = None

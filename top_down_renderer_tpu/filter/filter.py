@@ -164,6 +164,19 @@ def postprocess_weights(
     return w / jnp.sum(w)
 
 
+def pose_bbox(p: Particles) -> jnp.ndarray:
+    """(4,) min_x, min_y, max_x, max_y over alive particles."""
+    pose = p.pose_px()
+    big = jnp.float32(1e30)
+    mn = jnp.min(
+        jnp.where(p.alive[:, None], pose, big), axis=0
+    )
+    mx = jnp.max(
+        jnp.where(p.alive[:, None], pose, -big), axis=0
+    )
+    return jnp.concatenate([mn, mx])
+
+
 def update_tail(
     state: FilterState,
     p: Particles,
@@ -201,6 +214,7 @@ def update_tail(
         gmm=new_gmm,
         key=key,
         step=state.step + 1,
+        bbox=pose_bbox(new_particles),
     )
 
 
@@ -316,7 +330,9 @@ def make_update_step_fast(
         stencil: jnp.ndarray,
         scan: jnp.ndarray,
         res: jnp.ndarray,
+        f_host: float | None = None,
     ) -> FilterState:
+        del f_host  # dispatch hint, unused by this scoring mode
         cost, new_theta = score(
             state.particles, maps, stencil, scan, res
         )
@@ -463,6 +479,7 @@ class ParticleFilter:
             gmm=GMMState.init(8),
             key=key,
             step=jnp.asarray(0, dtype=jnp.int32),
+            bbox=pose_bbox(parts),
         )
         self._update_fn = make_update_step(
             params,
@@ -531,17 +548,13 @@ class ParticleFilter:
         else:
             return None
 
-        # clustered cloud -> conv cost-field path
+        # clustered cloud -> conv cost-field path (bbox kept on device)
         region = None
         if alive.any() and mo_conv is not None:
-            pose = np.asarray(self.state.particles.pose_px())[alive]
-            ipose = np.round(pose / self.map.resolution)
+            bb = np.asarray(self.state.bbox) / self.map.resolution
             extent = int(
-                max(
-                    ipose[:, 0].max() - ipose[:, 0].min(),
-                    ipose[:, 1].max() - ipose[:, 1].min(),
-                )
-            ) + 1
+                np.ceil(max(bb[2] - bb[0], bb[3] - bb[1]))
+            ) + 2
             region = cs.pick_region(extent)
         if region is not None:
             return (mode, mo_conv, scale, "conv", region)
@@ -597,7 +610,7 @@ class ParticleFilter:
         stencil = jnp.asarray(self.map.stencil)
         fast = self._fast_mode(float(res))
         if fast is not None:
-            mode, mo, _scale, path, region = fast
+            mode, mo, scale_h, path, region = fast
             self.state = self._get_fast_fn(mode, mo, path, region)(
                 self.state,
                 self._get_padded_maps(),
@@ -605,6 +618,7 @@ class ParticleFilter:
                 stencil,
                 scan,
                 res_j,
+                f_host=scale_h * float(res),
             )
         else:
             self.state = self._update_fn(

@@ -73,6 +73,7 @@ def _state_spec(axis: str):
         gmm=GMMState(means=P(), covs=P(), k=P()),
         key=P(),
         step=P(),
+        bbox=P(),
     )
 
 
@@ -247,6 +248,15 @@ def make_sharded_step(
             operand=None,
         )
 
+        from top_down_renderer_tpu.filter.filter import pose_bbox
+
+        local_bb = pose_bbox(new_p)
+        bbox = jnp.concatenate(
+            [
+                jax.lax.pmin(local_bb[:2], axis),
+                jax.lax.pmax(local_bb[2:], axis),
+            ]
+        )
         return state.replace(
             particles=new_p,
             n_active=n_new,
@@ -254,6 +264,7 @@ def make_sharded_step(
             gmm=new_gmm,
             key=key,
             step=state.step + 1,
+            bbox=bbox,
         )
 
     state_spec = _state_spec(axis)
