@@ -426,19 +426,24 @@ class TopDownRenderNode:
 
     def visualize_map(self) -> Optional[np.ndarray]:
         """Particle / GMM / ML overlay on the background map
-        (ParticleFilter::visualize, particle_filter.cpp:373-423)."""
+        (ParticleFilter::visualize, particle_filter.cpp:373-423), plus
+        the gt arrow (top_down_render.cpp:433-439)."""
+        from top_down_renderer_tpu.runtime.viz import (
+            draw_filter,
+            draw_gt_arrow,
+        )
+
         if self.background_img is None:
             return None
-        img = self.background_img.copy()
-        h = img.shape[0]
         p = self.filter.state.particles
         alive = np.asarray(p.alive)
         ml_states = np.asarray(p.ml_state())[alive]
-        xs = np.clip(ml_states[:, 0].astype(int), 0, img.shape[1] - 1)
-        ys = np.clip(h - 1 - ml_states[:, 1].astype(int), 0, h - 1)
-        img[ys, xs] = (255, 0, 0)
-        ml = self.filter.max_likelihood()
-        x0 = int(np.clip(ml[0], 0, img.shape[1] - 1))
-        y0 = int(np.clip(h - 1 - ml[1], 0, h - 1))
-        img[max(y0 - 2, 0) : y0 + 3, max(x0 - 2, 0) : x0 + 3] = (0, 0, 255)
-        return img
+        means, covs = self.filter.get_gmm()
+        img = draw_filter(
+            self.background_img,
+            ml_states,
+            means,
+            covs,
+            self.filter.max_likelihood(),
+        )
+        return draw_gt_arrow(img, self.gt_pose, self.map_center)
