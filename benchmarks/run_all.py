@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""BASELINE.json configs 1-5 benchmark suite.
+
+Prints one JSON line per config; writes benchmarks/results.json.
+Config 1 runs on CPU (per BASELINE.json); the rest on the default
+device.  Use --configs 1,3 to select a subset.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tdr")
+
+import numpy as np
+
+
+def _world(h, w, c, seed=0):
+    """Synthetic c-class world: road strip + blocks of the other classes."""
+    rng = np.random.default_rng(seed)
+    maps = np.ones((c, h, w), np.float32)
+    maps[1, h // 2 - 5 : h // 2 + 6, :] = 0.0  # road
+    for cls in range(2, c):
+        for _ in range(max(6, h // 24)):
+            y = int(rng.integers(4, h - 20))
+            x = int(rng.integers(4, w - 20))
+            sz = int(rng.integers(6, 14))
+            if np.any(maps[1, y : y + sz, x : x + sz] == 0):
+                continue
+            maps[cls, y : y + sz, x : x + sz] = 0.0
+    other = np.minimum(
+        np.sum(1.0 - maps[1:], axis=0), 1.0
+    )
+    maps[0] = other  # terrain complement
+    return maps
+
+
+def _pf_loop(maps, n_particles, steps, scale=2.0, res=1.0, seed=0,
+             extra_cb=None):
+    import jax
+    import jax.numpy as jnp
+
+    from top_down_renderer_tpu.config import FilterParams, MapParams
+    from top_down_renderer_tpu.filter.filter import ParticleFilter
+    from top_down_renderer_tpu.maps.map import TopDownMap, build_grid
+    from top_down_renderer_tpu.render.semantic import (
+        render_semantic_polar,
+    )
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests"),
+    )
+    from util_synthetic import generate_scan_points, rot2d
+
+    c, h, w = maps.shape
+    tdm = TopDownMap(MapParams(map_path="", num_classes=c, resolution=1.0))
+    tdm.grid = build_grid(maps, 1.0, 50.0)
+    tdm.class_maps_binary = maps
+    tdm.have_map = True
+    tdm.sample_pts_polar(100, 25)
+    params = FilterParams(
+        pos_cov=0.1, regularization=0.02, fixed_scale=scale,
+        class_weights=[0.5] + [1.5] * (c - 1), force_on_map=True,
+    )
+    pf = ParticleFilter(n_particles, tdm, params, seed=seed,
+                        chunk_size=min(2048, n_particles))
+    gt = np.array([w * 0.25, h / 2.0], np.float32)
+    psi = 0.0
+    flut = np.arange(256, dtype=np.int32)
+    errs = []
+    t_total = 0.0
+    for step in range(steps):
+        pts = generate_scan_points(
+            maps, gt, psi, scale, 25.0, 8192, seed=step
+        )
+        scan = render_semantic_polar(
+            jnp.asarray(pts), jnp.asarray(flut), res,
+            2 * np.pi / 100, c, 100, 25,
+        )
+        jax.block_until_ready(scan)
+        t0 = time.perf_counter()
+        pf.propagate(np.array([1.0, 0.0], np.float32), 0.0)
+        pf.update(scan, res)
+        jax.block_until_ready(pf.state.particles.weight)
+        if step > 0:  # step 0 compiles
+            t_total += time.perf_counter() - t0
+        gt = gt + (rot2d(psi) @ np.array([1.0, 0.0])) * scale
+        ml = pf.mean_likelihood()
+        errs.append(float(np.linalg.norm(ml[:2] - gt)))
+        if extra_cb:
+            extra_cb(pf)
+    # exclude the first (compile) step from throughput
+    return {
+        "steps_per_s": round((steps - 1) / max(t_total, 1e-9), 2),
+        "final_err_px": round(errs[-1], 2),
+        "min_err_px": round(min(errs), 2),
+    }
+
+
+def config1():
+    """2-class polar + 256 particles on 256x256, CPU."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    maps = _world(256, 256, 3)[:3]
+    out = _pf_loop(maps, 256, 12)
+    return {"config": 1, "device": "cpu", "particles": 256, **out}
+
+
+def config2():
+    """Cartesian renderer on a 5-class map, 2k particles, full loop."""
+    import jax.numpy as jnp
+
+    from top_down_renderer_tpu.render.semantic import (
+        render_semantic_cartesian,
+    )
+
+    maps = _world(512, 512, 5)
+    # exercise the Cartesian render path alongside the loop
+    rng = np.random.default_rng(0)
+    pts = np.zeros((8192, 4), np.float32)
+    pts[:, :2] = rng.standard_normal((8192, 2)) * 20
+    pts[:, 3] = rng.integers(0, 5, 8192)
+    img = render_semantic_cartesian(
+        jnp.asarray(pts), jnp.asarray(np.arange(256, dtype=np.int32)),
+        1.0, 5, 100, 100,
+    )
+    assert img.shape == (5, 100, 100)
+    out = _pf_loop(maps, 2048, 10)
+    return {"config": 2, "particles": 2048, **out}
+
+
+def config3():
+    """16k particles on a city-scale (2048^2) map."""
+    maps = _world(2048, 2048, 6, seed=3)
+    out = _pf_loop(maps, 16384, 10)
+    return {"config": 3, "particles": 16384, "map": "2048x2048x6", **out}
+
+
+def config4():
+    """100k particles + active-localizer goal selection on device."""
+    from top_down_renderer_tpu.active import ActiveLocalizer
+
+    maps = _world(1024, 1024, 6, seed=4)
+    state = {"al": None, "calls": 0}
+
+    def cb(pf):
+        if state["al"] is None:
+            state["al"] = ActiveLocalizer(pf.map)
+        means, _ = pf.get_gmm()
+        d, t = state["al"].get_best_rel_pos(means)
+        state["calls"] += 1
+
+    out = _pf_loop(maps, 102400, 8, extra_cb=cb)
+    return {
+        "config": 4, "particles": 102400,
+        "active_loc_calls": state["calls"], **out,
+    }
+
+
+def config5():
+    """Batched map refinement: accumulate a full trajectory's scans in
+    one jitted sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from top_down_renderer_tpu.tools.refine import accumulate_counts
+
+    rng = np.random.default_rng(5)
+    n_pts = 2_000_000  # ~200 scans x 10k points
+    pts = rng.uniform(0, 512, (n_pts, 3)).astype(np.float32)
+    classes = rng.integers(0, 6, n_pts).astype(np.int32)
+    args = (jnp.asarray(pts), jnp.asarray(classes), 1.0,
+            jnp.zeros(2, jnp.float32), 6, 512, 512)
+    out = accumulate_counts(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = accumulate_counts(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "config": 5,
+        "points": n_pts,
+        "sweep_ms": round(dt * 1e3, 2),
+        "points_per_s": int(n_pts / dt),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    sel = [int(x) for x in args.configs.split(",")]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    results = []
+    for i in sel:
+        if i == 1 and len(sel) > 1:
+            # config 1 pins the CPU backend; isolate it in a subprocess
+            import subprocess
+
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--configs", "1"],
+                capture_output=True, text=True, check=True,
+            )
+            line = [
+                l for l in p.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+        else:
+            r = fns[i]()
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -423,6 +423,7 @@ class ParticleFilter:
         self._fast_fns = {}
         self._maps_cache = {}
         self._map_version = 0
+        self._all_have_init = False
 
         if tdmap.have_map:
             self.initialize_particles()
@@ -458,6 +459,7 @@ class ParticleFilter:
             params.init_pos_px_x = float(px)
             params.init_pos_px_y = float(py)
 
+        self._all_have_init = False
         parts, n_active = particles_mod.initialize_particles(
             self.n_max,
             np.asarray(g.road_ok),
@@ -539,18 +541,24 @@ class ParticleFilter:
         )
         if mo_crop is None and mo_conv is None:
             return None
-        have = np.asarray(self.state.particles.have_init)
-        alive = np.asarray(self.state.particles.alive)
-        if np.all(have[alive]):
+        if self._all_have_init:
             mode = "tracked"
-        elif not np.any(have[alive]):
-            mode = "init"
         else:
-            return None
+            # pre-first-update (or post-reinit): every particle either
+            # has a prior theta or none do (initialize_particles sets
+            # have_init uniformly, particles.py)
+            have = np.asarray(self.state.particles.have_init)
+            alive = np.asarray(self.state.particles.alive)
+            if np.all(have[alive]):
+                mode = "tracked"
+            elif not np.any(have[alive]):
+                mode = "init"
+            else:
+                return None
 
         # clustered cloud -> conv cost-field path (bbox kept on device)
         region = None
-        if alive.any() and mo_conv is not None:
+        if int(self.state.n_active) > 0 and mo_conv is not None:
             bb = np.asarray(self.state.bbox) / self.map.resolution
             extent = int(
                 np.ceil(max(bb[2] - bb[0], bb[3] - bb[1]))
@@ -624,6 +632,8 @@ class ParticleFilter:
             self.state = self._update_fn(
                 self.state, g.dist, map_size_scaled, stencil, scan, res_j
             )
+        # every scoring path sets have_init=True for all particles
+        self._all_have_init = True
 
     # -- queries (particle_filter.h:29-41) -----------------------------
     def mean_likelihood(self) -> np.ndarray:
