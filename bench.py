@@ -49,11 +49,15 @@ def main():
     # adaptive particle count + resampling concentrate the cloud after
     # convergence; this is the serving regime the target describes)
     extent = int(os.environ.get("BENCH_EXTENT", 100))
+    # converged theta posterior: a narrow band around the heading
+    theta_spread = float(os.environ.get("BENCH_THETA_SPREAD", 0.15))
     (state, packed, map_size, stencil, scan, res, _params) = (
         ge._synthetic_setup(
             n, h=hw, w=hw, c=c, theta_bins=theta_bins,
             range_bins=range_bins,
             cluster=(hw // 2, hw // 2, extent) if extent > 0 else None,
+            theta_spread=(0.7, theta_spread)
+            if theta_spread > 0 else None,
         )
     )
     state = state.replace(
@@ -80,10 +84,24 @@ def main():
         mo = ps.pick_crop_size(scale * res_v, range_bins)
         region = cs.pick_region(extent + 16) if extent > 0 else None
         path = "conv" if region else "crop"
+        # shift window: covers the theta band + noise/turn margin (the
+        # runtime dispatch derives this from FilterState.smask)
+        if theta_spread > 0 and path == "conv":
+            span = int(np.ceil(theta_spread * theta_bins / np.pi)) + 1
+            need = span + 1 + 2 * 4
+            ww = next(
+                (w_ for w_ in (16, 32, 64) if need <= w_), theta_bins
+            )
+            s0 = int(
+                round((0.7 - theta_spread) * theta_bins / (2 * np.pi))
+                - 4
+            ) % theta_bins
+        else:
+            ww, s0 = theta_bins, 0
         update = make_update_step_fast(
             params, grid_num_classes=c, map_resolution=1.0,
             theta_bins=theta_bins, n_max=n, mode="tracked", mo=mo,
-            gmm_every=10, path=path, region=region or 0,
+            gmm_every=10, path=path, region=region or 0, window_w=ww,
         )
         map_arg = ps.build_padded_maps(packed)
 
@@ -102,7 +120,12 @@ def main():
         key, sub = jax.random.split(state.key)
         parts = prop(state, sub)
         st = state.replace(particles=parts, key=key)
-        return update(st, map_arg, map_size, stencil, scan, res)
+        if exact:
+            return update(st, map_arg, map_size, stencil, scan, res)
+        return update(
+            st, map_arg, map_size, stencil, scan, res,
+            f_host=scale * res_v, s0=s0,
+        )
 
     # warmup / compile
     st = full_step(state, scan)
@@ -128,7 +151,7 @@ def main():
                 "extra": {
                     "particles_scored_per_s": int(particles_per_s),
                     "step_ms": round(1000 * dt / steps, 2),
-                    "map": f"{hw}x{hw}x{c}", "path": path, "extent": extent,
+                    "map": f"{hw}x{hw}x{c}", "path": path, "extent": extent, "window": ww if not exact else None,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -143,3 +143,6 @@ class FilterState:
     # alive-pose bounding box (min_x, min_y, max_x, max_y) px, kept on
     # device so the host dispatch reads 16 bytes instead of the cloud
     bbox: jnp.ndarray = None
+    # (theta_bins,) bool: rotation shifts present among alive particles
+    # (lets the conv scorer build a kernel over just the live window)
+    smask: jnp.ndarray = None

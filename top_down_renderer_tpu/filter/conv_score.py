@@ -63,11 +63,17 @@ def build_conv_kernel(
     mo: int,
     mode: str,
     num_rot: int = 40,
+    window_w: int = 100,
+    s0=0,
 ) -> jnp.ndarray:
-    """(dr, dc, 8, S_out) bf16 conv kernel (HWIO).
+    """(S_out, dr, dc, 8) bf16 conv kernel (OHWI).
 
-    tracked: S_out = 224 -> [0:100) costs | [100:200) norms | [200] kf.
-    init:    S_out = 96  -> [0:40) costs | [40:80) norms | [80] kf.
+    tracked: the kernel covers the circular shift window
+      [s0, s0+window_w): S_out = 2*window_w+1 ->
+      [0:W) costs | [W:2W) norms | [2W] kf.  A converged cloud occupies
+      a narrow theta band, so W << theta_bins cuts the conv cost
+      proportionally (the live window is tracked in FilterState.smask).
+    init: S_out = 2*num_rot+1 over the search shifts.
     """
     c, th, r = scan.shape
     dr, dc = crop_dims(mo)
@@ -75,18 +81,21 @@ def build_conv_kernel(
     cost_circ = cost_circ.reshape(th * r * c, th)
     py, px = _stencil_pix(stencil, f, mo)
     if mode == "tracked":
-        base = _build_base_t(mo, py, px, c, cost_circ, norm_circ, 224)
+        cols = (s0 + jnp.arange(window_w)) % th
+        base = _build_base_t(
+            mo, py, px, c, cost_circ[:, cols], norm_circ[:, cols],
+            2 * window_w + 1,
+        )
     else:
         ssh = search_shifts(th, num_rot)
         base = _build_base_t(
-            mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 96
+            mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh],
+            2 * num_rot + 1,
         )
     s_out = base.shape[0]
     k = dr * dc * C_PAD
-    return (
-        base[:, :k].reshape(s_out, dr, dc, C_PAD)
-        .transpose(1, 2, 3, 0)
-    )
+    # OHWI layout: no transpose needed (the conv is told the layout)
+    return base[:, :k].reshape(s_out, dr, dc, C_PAD)
 
 
 @functools.partial(
@@ -122,7 +131,7 @@ def cost_field(
         kernel,
         window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=("NHWC", "OHWI", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     return out[0]
@@ -134,6 +143,7 @@ def make_conv_scorer(
     mode: str,
     num_rot: int = 40,
     map_resolution: float = 1.0,
+    window_w: int = 100,
 ):
     """Returns score(maps3d: PaddedMaps-like padded3d array, stencil,
     scan, cw, centers, theta, f) for the clustered regime.
@@ -144,10 +154,11 @@ def make_conv_scorer(
     crop path when the cloud doesn't fit)."""
 
     def score(padded3d, pad, stencil, scan, class_weights, center_px,
-              theta, f, alive):
+              theta, f, alive, s0=0):
         th, r, _ = stencil.shape
         kernel = build_conv_kernel(
-            scan, class_weights, stencil, f, mo, mode, num_rot
+            scan, class_weights, stencil, f, mo, mode, num_rot,
+            window_w, s0,
         )
         cy = jnp.round(center_px[:, 1] / map_resolution).astype(
             jnp.int32
@@ -176,18 +187,21 @@ def make_conv_scorer(
             jnp.stack([oy, ox]),
             mo,
             region,
-            kernel.shape[-1],
+            kernel.shape[0],
         )
         iy = jnp.clip(cy - oy, 0, region - 1)
         ix = jnp.clip(cx - ox, 0, region - 1)
         flat = field.reshape(-1)
-        s_out = kernel.shape[-1]
+        s_out = kernel.shape[0]
         base = (iy * region + ix) * s_out
         if mode == "tracked":
             s = rotation_shift(theta, th)
-            cost = flat[base + s]
-            norm = flat[base + th + s]
-            kf = flat[base + 2 * th] / (th * r)
+            # column within the circular window; clamped for noise-tail
+            # outliers (they read the window edge)
+            local = jnp.clip((s - s0) % th, 0, window_w - 1)
+            cost = flat[base + local]
+            norm = flat[base + window_w + local]
+            kf = flat[base + 2 * window_w] / (th * r)
             return cost, norm, kf
         # init: gather all num_rot shifts per particle
         idx = base[:, None] + jnp.arange(num_rot)[None, :]

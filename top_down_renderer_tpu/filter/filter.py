@@ -184,6 +184,7 @@ def update_tail(
     n_max: int,
     k_max: int,
     gmm_every: int,
+    theta_bins: int = 100,
 ):
     """Shared post-scoring pipeline: weight post-processing, adaptive
     count, systematic resample, periodic GMM (particle_filter.cpp:
@@ -207,6 +208,12 @@ def update_tail(
         lambda _: state.gmm,
         operand=None,
     )
+    shifts = rotation_shift(new_particles.theta, theta_bins)
+    smask = (
+        jnp.zeros(theta_bins, bool)
+        .at[jnp.where(new_particles.alive, shifts, theta_bins)]
+        .max(True, mode="drop")
+    )
     return state.replace(
         particles=new_particles,
         n_active=n_new,
@@ -215,6 +222,7 @@ def update_tail(
         key=key,
         step=state.step + 1,
         bbox=pose_bbox(new_particles),
+        smask=smask,
     )
 
 
@@ -228,7 +236,8 @@ def _pad_class_weights(params, grid_num_classes):
 
 
 def make_tail_fn(
-    params: FilterParams, n_max: int, k_max: int, gmm_every: int
+    params: FilterParams, n_max: int, k_max: int, gmm_every: int,
+    theta_bins: int = 100,
 ):
     """Jitted post-scoring tail, shared by every scoring mode (keeps the
     per-mode compile small)."""
@@ -245,7 +254,9 @@ def make_tail_fn(
             have_init=jnp.ones_like(state.particles.have_init),
         )
         w_raw = weight_from_cost(cost, p, params, map_size_scaled)
-        return update_tail(state, p, w_raw, n_max, k_max, gmm_every)
+        return update_tail(
+            state, p, w_raw, n_max, k_max, gmm_every, theta_bins
+        )
 
     return tail
 
@@ -263,6 +274,7 @@ def make_update_step_fast(
     tail_fn=None,
     path: str = "crop",  # "crop" (Pallas) | "conv" (clustered grid)
     region: int = 128,
+    window_w: int = 100,
 ):
     """Update using a fast scoring path (uniform scale): a jitted scoring
     stage + the shared jitted tail (two dispatches; both stay on device).
@@ -278,10 +290,13 @@ def make_update_step_fast(
 
     class_weights = _pad_class_weights(params, grid_num_classes)
     if tail_fn is None:
-        tail_fn = make_tail_fn(params, n_max, k_max, gmm_every)
+        tail_fn = make_tail_fn(
+            params, n_max, k_max, gmm_every, theta_bins
+        )
     if path == "conv":
         conv_scorer = cs.make_conv_scorer(
-            mo, region, mode, params.num_rot_search, map_resolution
+            mo, region, mode, params.num_rot_search, map_resolution,
+            window_w=window_w,
         )
 
     @jax.jit
@@ -291,6 +306,7 @@ def make_update_step_fast(
         stencil: jnp.ndarray,
         scan: jnp.ndarray,
         res: jnp.ndarray,
+        s0: jnp.ndarray,
     ):
         p = particles
         f = p.scale[0] * res  # uniform by contract
@@ -299,6 +315,7 @@ def make_update_step_fast(
                 num, den, kf = conv_scorer(
                     maps.padded3d, maps.pad, stencil, scan,
                     class_weights, p.pose_px(), p.theta, f, p.alive,
+                    s0,
                 )
             else:
                 num, den, kf = ps.score_tracked_fast_mo(
@@ -331,10 +348,12 @@ def make_update_step_fast(
         scan: jnp.ndarray,
         res: jnp.ndarray,
         f_host: float | None = None,
+        s0: int = 0,
     ) -> FilterState:
         del f_host  # dispatch hint, unused by this scoring mode
         cost, new_theta = score(
-            state.particles, maps, stencil, scan, res
+            state.particles, maps, stencil, scan, res,
+            jnp.asarray(s0, jnp.int32),
         )
         return tail_fn(state, cost, new_theta, map_size_scaled)
 
@@ -424,6 +443,7 @@ class ParticleFilter:
         self._maps_cache = {}
         self._map_version = 0
         self._all_have_init = False
+        self._last_omega = 0.0
 
         if tdmap.have_map:
             self.initialize_particles()
@@ -482,6 +502,7 @@ class ParticleFilter:
             key=key,
             step=jnp.asarray(0, dtype=jnp.int32),
             bbox=pose_bbox(parts),
+            smask=jnp.ones(self.theta_bins, bool),
         )
         self._update_fn = make_update_step(
             params,
@@ -505,6 +526,7 @@ class ParticleFilter:
     def propagate(self, trans, omega) -> None:
         if self.state is None:
             return
+        self._last_omega = float(omega)
         key, sub = jax.random.split(self.state.key)
         parts = particles_mod.propagate(
             self.state.particles,
@@ -565,10 +587,36 @@ class ParticleFilter:
             ) + 2
             region = cs.pick_region(extent)
         if region is not None:
-            return (mode, mo_conv, scale, "conv", region)
+            s0, ww = self._shift_window()
+            return (mode, mo_conv, scale, "conv", region, s0, ww)
         if mo_crop is not None:
-            return (mode, mo_crop, scale, "crop", 0)
+            return (mode, mo_crop, scale, "crop", 0, 0, self.theta_bins)
         return None
+
+    def _shift_window(self):
+        """Smallest circular shift window covering the live shifts (from
+        the device-tracked smask), padded for this step's rotation delta
+        and theta noise, bucketed to {16, 32, 64, theta_bins}."""
+        th = self.theta_bins
+        sm = np.asarray(self.state.smask)
+        present = np.nonzero(sm)[0]
+        if len(present) == 0 or len(present) == th:
+            return 0, th
+        # largest circular gap between consecutive present shifts
+        ext = np.concatenate([present, [present[0] + th]])
+        gaps = np.diff(ext)
+        gi = int(np.argmax(gaps))
+        span = th - int(gaps[gi])  # covered arc (bins - 1)
+        start = int(present[(gi + 1) % len(present)])
+        margin = (
+            int(np.ceil(abs(self._last_omega) * th / (2 * np.pi))) + 3
+        )
+        need = span + 1 + 2 * margin
+        for ww in (16, 32, 64):
+            if need <= ww:
+                s0 = (start - margin - (ww - need) // 2) % th
+                return int(s0), ww
+        return 0, th
 
     def _get_padded_maps(self):
         from top_down_renderer_tpu.filter import pallas_score as ps
@@ -581,13 +629,15 @@ class ParticleFilter:
         return self._maps_cache[key]
 
     def _get_fast_fn(
-        self, mode: str, mo: int, path: str = "crop", region: int = 0
+        self, mode: str, mo: int, path: str = "crop", region: int = 0,
+        window_w: int = 100,
     ):
-        key = (mode, mo, path, region)
+        key = (mode, mo, path, region, window_w)
         if key not in self._fast_fns:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
-                    self.params, self.n_max, 8, self.gmm_every
+                    self.params, self.n_max, 8, self.gmm_every,
+                    self.theta_bins,
                 )
             self._fast_fns[key] = make_update_step_fast(
                 self.params,
@@ -601,6 +651,7 @@ class ParticleFilter:
                 tail_fn=self._tail_fn,
                 path=path,
                 region=region,
+                window_w=window_w,
             )
         return self._fast_fns[key]
 
@@ -618,8 +669,10 @@ class ParticleFilter:
         stencil = jnp.asarray(self.map.stencil)
         fast = self._fast_mode(float(res))
         if fast is not None:
-            mode, mo, scale_h, path, region = fast
-            self.state = self._get_fast_fn(mode, mo, path, region)(
+            mode, mo, scale_h, path, region, s0, ww = fast
+            self.state = self._get_fast_fn(
+                mode, mo, path, region, ww
+            )(
                 self.state,
                 self._get_padded_maps(),
                 map_size_scaled,
@@ -627,6 +680,7 @@ class ParticleFilter:
                 scan,
                 res_j,
                 f_host=scale_h * float(res),
+                s0=s0,
             )
         else:
             self.state = self._update_fn(

@@ -74,6 +74,7 @@ def _state_spec(axis: str):
         key=P(),
         step=P(),
         bbox=P(),
+        smask=P(),
     )
 
 
@@ -249,8 +250,18 @@ def make_sharded_step(
         )
 
         from top_down_renderer_tpu.filter.filter import pose_bbox
+        from top_down_renderer_tpu.filter.scoring import rotation_shift
 
         local_bb = pose_bbox(new_p)
+        shifts_ = rotation_shift(new_p.theta, theta_bins)
+        smask_local = (
+            jnp.zeros(theta_bins, bool)
+            .at[jnp.where(new_p.alive, shifts_, theta_bins)]
+            .max(True, mode="drop")
+        )
+        smask = jax.lax.psum(
+            smask_local.astype(jnp.int32), axis
+        ) > 0
         bbox = jnp.concatenate(
             [
                 jax.lax.pmin(local_bb[:2], axis),
@@ -265,6 +276,7 @@ def make_sharded_step(
             key=key,
             step=state.step + 1,
             bbox=bbox,
+            smask=smask,
         )
 
     state_spec = _state_spec(axis)

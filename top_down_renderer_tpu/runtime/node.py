@@ -143,8 +143,41 @@ class TopDownRenderNode:
         self.motion_prior_buf: List[PoseStamped] = []
         self.last_pc: Optional[Tuple[float, np.ndarray]] = None
         self.last_map_stamp = -math.inf
-        self.map_center = np.zeros(2)  # px, image coords
         self.background_img: Optional[np.ndarray] = None
+
+        # background viz map + init-pos flip (top_down_render.cpp:93-114)
+        if not map_config.dynamic and map_config.viz_path:
+            try:
+                from PIL import Image
+
+                self.background_img = np.asarray(
+                    Image.open(map_config.viz_path).convert("RGB")
+                )
+            except Exception:
+                self.background_img = None
+        if (
+            self.background_img is not None
+            and fp.init_pos_px_y > 0
+        ):
+            # image-coordinate convention for the pixel init prior (:99-103)
+            fp.init_pos_px_y = (
+                self.background_img.shape[0] - fp.init_pos_px_y
+            )
+        if fp.fixed_scale > 0:
+            self.map_pub_scale = (
+                self.rt.map_pub_resolution / fp.fixed_scale
+            )
+        else:
+            self.map_pub_scale = 1.0
+        img_h = (
+            self.background_img.shape[0]
+            if self.background_img is not None
+            else 0
+        )
+        self.map_center = np.array(
+            [self.rt.svg_origin_x, img_h - self.rt.svg_origin_y],
+            dtype=np.float64,
+        )
 
         # build the stack (initialize(), top_down_render.cpp:81-117)
         self.map = TopDownMap(self.map_params)
@@ -160,6 +193,26 @@ class TopDownRenderNode:
             gmm_every=self.rt.gmm_every,
         )
         self.timing: Dict[str, float] = {}
+        if self.background_img is not None:
+            self._publish("map_viz", self._scaled_viz(self.background_img))
+
+    def _scaled_viz(self, img: np.ndarray) -> np.ndarray:
+        """Resize published map images by map_pub_scale
+        (top_down_render.cpp:105-112, 441-444)."""
+        if self.map_pub_scale == 1.0:
+            return img
+        try:
+            import cv2
+
+            return cv2.resize(
+                img,
+                (
+                    int(img.shape[1] * self.map_pub_scale),
+                    int(img.shape[0] * self.map_pub_scale),
+                ),
+            )
+        except Exception:
+            return img
 
     # ------------------------------------------------------------------
     # pub/sub shim
@@ -446,4 +499,6 @@ class TopDownRenderNode:
             covs,
             self.filter.max_likelihood(),
         )
-        return draw_gt_arrow(img, self.gt_pose, self.map_center)
+        return self._scaled_viz(
+            draw_gt_arrow(img, self.gt_pose, self.map_center)
+        )
