@@ -34,9 +34,7 @@ import numpy as np
 from top_down_renderer_tpu.filter.pallas_score import (
     C_PAD,
     PaddedMaps,
-    _build_base_t,
-    crop_dims,
-    _stencil_pix,
+    _build_base_t_from_pix,
 )
 from top_down_renderer_tpu.filter.scoring import (
     build_circulants,
@@ -46,6 +44,14 @@ from top_down_renderer_tpu.filter.scoring import (
 
 # output-region buckets (cost-field height/width in px)
 REGION_BUCKETS = (64, 128, 192, 256)
+
+
+def conv_dims(mo: int):
+    """Tight conv-kernel extent: the conv slides at 1 px so it needs
+    none of the crop path's DMA-alignment margins (44% less im2col
+    at mo=24 than crop_dims)."""
+    d = 2 * mo + 2
+    return d, d
 
 
 def pick_region(extent: int) -> int | None:
@@ -76,26 +82,27 @@ def build_conv_kernel(
     init: S_out = 2*num_rot+1 over the search shifts.
     """
     c, th, r = scan.shape
-    dr, dc = crop_dims(mo)
+    dr, dc = conv_dims(mo)
     cost_circ, norm_circ = build_circulants(scan, class_weights)
     cost_circ = cost_circ.reshape(th * r * c, th)
-    py, px = _stencil_pix(stencil, f, mo)
+    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
+    pix8 = ((off[:, 0] + dr // 2) * dc + (off[:, 1] + dc // 2)) * C_PAD
+    k = dr * dc * C_PAD
     if mode == "tracked":
         cols = (s0 + jnp.arange(window_w)) % th
-        base = _build_base_t(
-            mo, py, px, c, cost_circ[:, cols], norm_circ[:, cols],
+        base = _build_base_t_from_pix(
+            pix8, k, c, cost_circ[:, cols], norm_circ[:, cols],
             2 * window_w + 1,
         )
     else:
         ssh = search_shifts(th, num_rot)
-        base = _build_base_t(
-            mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh],
+        base = _build_base_t_from_pix(
+            pix8, k, c, cost_circ[:, ssh], norm_circ[:, ssh],
             2 * num_rot + 1,
         )
     s_out = base.shape[0]
-    k = dr * dc * C_PAD
     # OHWI layout: no transpose needed (the conv is told the layout)
-    return base[:, :k].reshape(s_out, dr, dc, C_PAD)
+    return base.reshape(s_out, dr, dc, C_PAD)
 
 
 @functools.partial(
@@ -115,12 +122,11 @@ def cost_field(
 
     Returns (region, region, s_out) f32: field[y, x] corresponds to the
     center at padded (origin_y + y, origin_x + x)."""
-    dr, dc = crop_dims(mo)
-    # center (y, x) reads crop rows [y - dr//2, ...), cols
-    # [x - (dc-16)//2, ...): the crop path's origin decomposition with
-    # rx = 0 (conv slides at 1 px, so no residual)
+    dr, dc = conv_dims(mo)
+    # center (y, x) reads kernel rows [y - dr//2, ...), cols
+    # [x - dc//2, ...)
     oy = origin_yx[0] - dr // 2
-    ox = origin_yx[1] - (dc - 16) // 2
+    ox = origin_yx[1] - dc // 2
     block = jax.lax.dynamic_slice(
         padded3d,
         (oy, ox, 0),
@@ -167,7 +173,7 @@ def make_conv_scorer(
             jnp.int32
         ) + pad
         hp, wp, _ = padded3d.shape
-        dr, dc = crop_dims(mo)
+        dr, dc = conv_dims(mo)
         # region origin: min over ALIVE particles (dead slots are stale
         # resample leftovers anywhere on the map), clamped to fit
         big = jnp.int32(1 << 30)
@@ -178,8 +184,8 @@ def make_conv_scorer(
         )
         ox = jnp.clip(
             jnp.min(jnp.where(alive, cx, big)),
-            (dc - 16) // 2,
-            wp - (region + dc - 1) + (dc - 16) // 2,
+            dc // 2,
+            wp - (region + dc - 1) + dc // 2,
         )
         field = cost_field(
             padded3d,

@@ -128,27 +128,23 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
 
 
 
-def _build_base_t(
-    mo: int,
-    py: jnp.ndarray,
-    px: jnp.ndarray,
+def _build_base_t_from_pix(
+    pix8: jnp.ndarray,  # (TR,) K-row base index per stencil point
+    kext: int,
     c: int,
     cost_cols: jnp.ndarray,  # (TR*C, n_cost) - rows in (theta,r,c) order
     norm_cols: jnp.ndarray,  # (TR, n_norm)
     s_cols: int,
 ) -> jnp.ndarray:
-    """Build the TRANSPOSED base matrix (s_cols, K + RX*8) bf16.
+    """Build the TRANSPOSED base matrix (s_cols, kext) bf16.
 
     TPU scatter is descriptor-bound (~75 ms for these shapes), so the
     stencil->K-row selection is expressed as a dense one-hot MXU matmul:
       base_T = circ2_T (s_cols, TR*8) @ onehot (TR*8, Kext)
     with onehot[(i, ch), k] = (pix8[i] + ch == k), built chunk-by-chunk."""
-    dr, dc = crop_dims(mo)
-    tr = py.shape[0]
-    kext = dr * dc * C_PAD + RX * C_PAD
+    tr = pix8.shape[0]
     n_cost = cost_cols.shape[1]
     n_norm = norm_cols.shape[1]
-    pix8 = (py * dc + px) * C_PAD  # (TR,)
     rowvals = (
         pix8[:, None]
         + jax.lax.broadcasted_iota(jnp.int32, (tr, C_PAD), 1)
@@ -187,6 +183,25 @@ def _stencil_pix(stencil: jnp.ndarray, f, mo: int):
     py = off[:, 0] + dr // 2
     px = off[:, 1] + (dc - 16) // 2
     return py, px
+
+
+def _build_base_t(
+    mo: int,
+    py: jnp.ndarray,
+    px: jnp.ndarray,
+    c: int,
+    cost_cols: jnp.ndarray,
+    norm_cols: jnp.ndarray,
+    s_cols: int,
+) -> jnp.ndarray:
+    """Crop-path base matrix: K-rows laid out on the (dr, dc) crop of
+    crop_dims(mo) with the RX row-shift tail."""
+    dr, dc = crop_dims(mo)
+    kext = dr * dc * C_PAD + RX * C_PAD
+    pix8 = (py * dc + px) * C_PAD
+    return _build_base_t_from_pix(
+        pix8, kext, c, cost_cols, norm_cols, s_cols
+    )
 
 
 def build_m_tracked(
