@@ -1,0 +1,86 @@
+"""Host-side dispatch logic: shift-window derivation and fast-mode
+selection (pure host code, CPU-testable even though the fast kernels
+themselves only run on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from top_down_renderer_tpu.config import FilterParams, MapParams
+from top_down_renderer_tpu.filter.filter import ParticleFilter
+from top_down_renderer_tpu.maps.map import TopDownMap, build_grid
+from util_synthetic import make_world
+
+
+def _pf(fixed_scale=2.0, n=256):
+    maps = make_world()
+    tdm = TopDownMap(MapParams(map_path="", num_classes=3, resolution=1.0))
+    tdm.grid = build_grid(maps, 1.0, 50.0)
+    tdm.class_maps_binary = maps
+    tdm.have_map = True
+    tdm.sample_pts_polar(100, 25)
+    pf = ParticleFilter(
+        n, tdm,
+        FilterParams(fixed_scale=fixed_scale, class_weights=[1, 1, 1]),
+        chunk_size=n, use_fast=True,
+    )
+    return pf
+
+
+def _set_smask(pf, shifts):
+    sm = np.zeros(pf.theta_bins, bool)
+    sm[shifts] = True
+    pf.state = pf.state.replace(smask=jnp.asarray(sm))
+
+
+def test_shift_window_narrow_band():
+    pf = _pf()
+    _set_smask(pf, [10, 11, 12, 13])
+    s0, ww = pf._shift_window()
+    assert ww == 16
+    # window covers [10, 13] with margin
+    covered = [(s0 + j) % 100 for j in range(ww)]
+    for s in (10, 11, 12, 13):
+        assert s in covered
+
+
+def test_shift_window_wraparound():
+    pf = _pf()
+    _set_smask(pf, [97, 98, 99, 0, 1, 2])
+    s0, ww = pf._shift_window()
+    assert ww == 16
+    covered = [(s0 + j) % 100 for j in range(ww)]
+    for s in (97, 98, 99, 0, 1, 2):
+        assert s in covered
+
+
+def test_shift_window_turn_margin():
+    pf = _pf()
+    _set_smask(pf, [50])
+    pf._last_omega = 1.0  # big turn -> ~16-bin margin each side
+    s0, ww = pf._shift_window()
+    assert ww >= 64
+    covered = [(s0 + j) % 100 for j in range(ww)]
+    for s in range(50 - 16, 50 + 17):
+        assert s % 100 in covered
+
+
+def test_shift_window_spread_full():
+    pf = _pf()
+    _set_smask(pf, list(range(0, 100, 3)))
+    s0, ww = pf._shift_window()
+    assert ww == 100
+
+
+def test_fast_mode_selection():
+    pf = _pf(fixed_scale=2.0)
+    # scale 2, res 0.5 -> f=1 -> mo 24; clustered road init -> conv
+    out = pf._fast_mode(0.5)
+    assert out is not None
+    mode, mo, scale, path, region, s0, ww = out
+    assert mode in ("tracked", "init")
+    assert scale == 2.0
+    # f too large for any bucket -> None
+    assert pf._fast_mode(10.0) is None
+    # unfrozen scale -> None
+    pf2 = _pf(fixed_scale=-1.0)
+    assert pf2._fast_mode(0.5) is None
