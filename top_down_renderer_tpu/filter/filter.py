@@ -655,6 +655,55 @@ class ParticleFilter:
             )
         return self._fast_fns[key]
 
+    def warmup(
+        self,
+        res: float,
+        regions=(64, 128, 256),
+        windows=(16, 100),
+        modes=("tracked", "init"),
+    ) -> None:
+        """Precompile fast-path variants for a deployment operating
+        point (each first-touch compile can take minutes on TPU; the
+        persistent compilation cache makes warmup a one-time cost)."""
+        if self.state is None or not self.use_fast:
+            return
+        from top_down_renderer_tpu.filter import pallas_score as ps
+
+        scale = (
+            self.params.fixed_scale
+            if self.params.fixed_scale > 0
+            else float(self.state.particles.scale[0])
+        )
+        mo = ps.pick_crop_size(
+            scale * res, self.map.stencil.shape[1], ps._MO_BUCKETS_CONV
+        )
+        if mo is None:
+            return
+        g = self.map.grid
+        map_size_scaled = (
+            jnp.asarray([g.width, g.height], dtype=jnp.float32)
+            * self.map.resolution
+        )
+        dummy_scan = jnp.zeros(
+            (g.num_classes, self.theta_bins,
+             self.map.stencil.shape[1]),
+            jnp.float32,
+        )
+        for mode in modes:
+            for region in regions:
+                for ww in windows if mode == "tracked" else (100,):
+                    fn = self._get_fast_fn(mode, mo, "conv", region, ww)
+                    fn(
+                        self.state,
+                        self._get_padded_maps(),
+                        map_size_scaled,
+                        jnp.asarray(self.map.stencil),
+                        dummy_scan,
+                        jnp.asarray(res, jnp.float32),
+                        f_host=scale * res,
+                        s0=0,
+                    )
+
     def update(self, scan, res) -> None:
         """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
         if self.state is None or int(self.state.n_active) == 0:
