@@ -265,3 +265,45 @@ def test_node_replay_convergence(tmp_path):
     assert len(rec["poses"]) > 0
     ml = node.filter.mean_likelihood()
     assert np.linalg.norm(ml[:2] - gt) < 15.0
+
+
+def test_adaptive_particle_count_matches_ellipse_formula():
+    """Oracle for adaptive_particle_count (particle_filter.cpp:151-158):
+    n = sum_k floor(sqrt(l1_k)*sqrt(l2_k)) over the 2x2 position blocks,
+    clamped to [3/4 n_active + 10, n_max]."""
+    import jax.numpy as jnp
+
+    from top_down_renderer_tpu.core.grids import GMMState
+    from top_down_renderer_tpu.filter.gmm import adaptive_particle_count
+
+    rng = np.random.default_rng(7)
+    k_max, k = 8, 3
+    covs = np.tile(np.eye(3, dtype=np.float32), (k_max, 1, 1))
+    for i in range(k):
+        a = rng.standard_normal((2, 2)).astype(np.float32)
+        covs[i, :2, :2] = a @ a.T * (20.0 + 40.0 * i)
+    # inactive slots carry garbage to prove they're masked out
+    covs[k:, :2, :2] = 1e6
+    g = GMMState(
+        means=jnp.zeros((k_max, 3)),
+        covs=jnp.asarray(covs),
+        k=jnp.asarray(k),
+    )
+
+    expected = 0
+    for i in range(k):
+        l1, l2 = np.linalg.eigvalsh(covs[i, :2, :2])
+        expected += int(np.floor(np.sqrt(max(l1, 0)) * np.sqrt(max(l2, 0))))
+
+    n_max = 100_000
+    for n_active in (64, 4096):
+        got = int(adaptive_particle_count(g, jnp.asarray(n_active), n_max))
+        assert got == min(max(expected, 3 * n_active // 4 + 10), n_max)
+
+    # huge ellipses -> clamp at n_max
+    g_big = GMMState(
+        means=jnp.zeros((k_max, 3)),
+        covs=jnp.asarray(covs) * 1e8,
+        k=jnp.asarray(k),
+    )
+    assert int(adaptive_particle_count(g_big, jnp.asarray(64), n_max)) == n_max

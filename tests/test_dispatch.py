@@ -84,3 +84,30 @@ def test_fast_mode_selection():
     # unfrozen scale -> None
     pf2 = _pf(fixed_scale=-1.0)
     assert pf2._fast_mode(0.5) is None
+
+
+def test_conv_region_must_fit_padded_map():
+    """A clustered cloud on a SMALL map must not select a conv region
+    whose (region + kernel - 1) block exceeds the padded map (the conv
+    scorer's dynamic_slice would be unsatisfiable); it falls back to the
+    crop path or exact."""
+    from top_down_renderer_tpu.filter import conv_score as cs
+
+    pf = _pf()  # world is 200x200 -> padded ~328
+    pm = pf._get_padded_maps()
+    out = pf._fast_mode(0.5)
+    assert out is not None
+    _mode, mo, _scale, path, region, _s0, _ww = out
+    if path == "conv":
+        dr, dc = cs.conv_dims(mo)
+        assert region + dr - 1 <= pm.hp
+        assert region + dc - 1 <= pm.wp
+
+
+def test_warmup_skips_oversized_regions():
+    """warmup() on a small map must not trace conv variants that cannot
+    fit (they would raise at trace time)."""
+    pf = _pf()
+    pf.use_fast = True
+    # regions far beyond the padded map: should be filtered, not crash
+    pf.warmup(0.5, regions=(1024, 2048), windows=(16,), modes=("tracked",))

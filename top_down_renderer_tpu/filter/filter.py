@@ -586,6 +586,13 @@ class ParticleFilter:
                 np.ceil(max(bb[2] - bb[0], bb[3] - bb[1]))
             ) + 2
             region = cs.pick_region(extent)
+            if region is not None:
+                # the conv block (region + kernel - 1)^2 must fit the
+                # padded map; small maps fall back to the crop path
+                dr, dc = cs.conv_dims(mo_conv)
+                pm = self._get_padded_maps()
+                if (region + dr - 1 > pm.hp) or (region + dc - 1 > pm.wp):
+                    region = None
         if region is not None:
             s0, ww = self._shift_window()
             return (mode, mo_conv, scale, "conv", region, s0, ww)
@@ -689,6 +696,14 @@ class ParticleFilter:
              self.map.stencil.shape[1]),
             jnp.float32,
         )
+        from top_down_renderer_tpu.filter import conv_score as cs
+
+        dr, dc = cs.conv_dims(mo)
+        pm = self._get_padded_maps()
+        regions = [
+            r for r in regions
+            if r + dr - 1 <= pm.hp and r + dc - 1 <= pm.wp
+        ]
         for mode in modes:
             for region in regions:
                 for ww in windows if mode == "tracked" else (100,):

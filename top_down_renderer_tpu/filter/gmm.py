@@ -185,7 +185,11 @@ def adaptive_particle_count(
     disc = jnp.sqrt(jnp.maximum((tr / 2) ** 2 - det, 0.0))
     l1 = jnp.maximum(tr / 2 + disc, 0.0)
     l2 = jnp.maximum(tr / 2 - disc, 0.0)
-    area = jnp.floor(jnp.sqrt(l1) * jnp.sqrt(l2)).astype(jnp.int32)
+    # clip before the int cast: a huge ellipse (diverged filter) must
+    # saturate at n_max, not wrap int32 and fall to the lower clamp
+    area = jnp.floor(
+        jnp.minimum(jnp.sqrt(l1) * jnp.sqrt(l2), float(n_max))
+    ).astype(jnp.int32)
     active = (jnp.arange(gmm.covs.shape[0]) < gmm.k).astype(jnp.int32)
     n_new = jnp.sum(area * active)
     lower = 3 * n_active // 4 + 10
