@@ -136,7 +136,11 @@ class FilterState:
     n_active: jnp.ndarray  # scalar int32 <- num_particles_
     scale_frozen: jnp.ndarray  # scalar bool <- scale_frozen_
     frozen_scale: jnp.ndarray  # scalar f32: the frozen/fixed scale value
-    ml_index: jnp.ndarray  # scalar int32 <- max_likelihood_particle_
+    # (4,) f32 x_px, y_px, theta, scale of the max-weight particle,
+    # CAPTURED BEFORE RESAMPLING <- max_likelihood_particle_: the
+    # reference keeps a pointer to the old particle that survives the
+    # swap (particle_filter.cpp:144-147)
+    ml_state: jnp.ndarray
     gmm: GMMState
     key: Any  # jax PRNG key <- the shared mt19937 (particle_filter.cpp:4-5)
     step: jnp.ndarray  # scalar int32 step counter

@@ -190,7 +190,10 @@ def update_tail(
     count, systematic resample, periodic GMM (particle_filter.cpp:
     107-187, 245-318)."""
     w = postprocess_weights(w_raw, p.last_dist, p.alive, state.n_active)
-    ml_index = jnp.argmax(w)
+    # capture the max-weight particle's state BEFORE resampling (the
+    # reference keeps a pointer to the old particle that survives the
+    # swap, particle_filter.cpp:144-149)
+    ml_state = p.ml_state()[jnp.argmax(w)]
     n_new = gmm_mod.adaptive_particle_count(
         state.gmm, state.n_active, n_max
     )
@@ -217,7 +220,7 @@ def update_tail(
     return state.replace(
         particles=new_particles,
         n_active=n_new,
-        ml_index=ml_index,
+        ml_state=ml_state,
         gmm=new_gmm,
         key=key,
         step=state.step + 1,
@@ -402,7 +405,9 @@ def make_update_step(
             costs_all, p, params, map_size_scaled, theta_bins
         )
         p = p.replace(theta=new_theta, have_init=have_init)
-        return update_tail(state, p, w_raw, n_max, k_max, gmm_every)
+        return update_tail(
+            state, p, w_raw, n_max, k_max, gmm_every, theta_bins
+        )
 
     return update
 
@@ -444,6 +449,7 @@ class ParticleFilter:
         self._map_version = 0
         self._all_have_init = False
         self._last_omega = 0.0
+        self._last_dist_m = 0.0
 
         if tdmap.have_map:
             self.initialize_particles()
@@ -497,7 +503,7 @@ class ParticleFilter:
             frozen_scale=jnp.asarray(
                 params.fixed_scale if frozen else -1.0, dtype=jnp.float32
             ),
-            ml_index=jnp.asarray(0, dtype=jnp.int32),
+            ml_state=parts.ml_state()[0],
             gmm=GMMState.init(8),
             key=key,
             step=jnp.asarray(0, dtype=jnp.int32),
@@ -527,6 +533,8 @@ class ParticleFilter:
         if self.state is None:
             return
         self._last_omega = float(omega)
+        t = np.asarray(trans, dtype=np.float64).reshape(-1)
+        self._last_dist_m = float(np.hypot(t[0], t[1]))
         key, sub = jax.random.split(self.state.key)
         parts = particles_mod.propagate(
             self.state.particles,
@@ -615,9 +623,14 @@ class ParticleFilter:
         gi = int(np.argmax(gaps))
         span = th - int(gaps[gi])  # covered arc (bins - 1)
         start = int(present[(gi + 1) % len(present)])
-        margin = (
-            int(np.ceil(abs(self._last_omega) * th / (2 * np.pi))) + 3
-        )
+        # pad by this step's rotation delta plus 3 sigma of the theta
+        # noise (stddev = theta_cov * dist, particles.propagate), so
+        # noise-tail particles on longer steps aren't clamped to the
+        # window edge and scored at a wrong rotation
+        noise3 = 3.0 * self.params.theta_cov * self._last_dist_m
+        margin = int(
+            np.ceil(abs(self._last_omega) * th / (2 * np.pi))
+        ) + max(3, int(np.ceil(noise3 * th / (2 * np.pi))))
         need = span + 1 + 2 * margin
         for ww in (16, 32, 64):
             if need <= ww:
@@ -769,17 +782,13 @@ class ParticleFilter:
         )
 
     def max_likelihood(self) -> np.ndarray:
-        return np.asarray(
-            stats_mod.max_likelihood(
-                self.state.particles, self.state.ml_index
-            )
-        )
+        return np.asarray(self.state.ml_state)
 
     def compute_cov(self) -> np.ndarray:
         return np.asarray(
             stats_mod.compute_cov(
                 self.state.particles,
-                self.state.ml_index,
+                self.state.ml_state,
                 self.state.n_active,
             )
         )

@@ -49,15 +49,9 @@ def compute_mean_cov(
 
 
 def compute_cov(
-    particles: Particles, ml_index: jnp.ndarray, n_active: jnp.ndarray
+    particles: Particles, ml_state: jnp.ndarray, n_active: jnp.ndarray
 ) -> jnp.ndarray:
-    """4x4 covariance about the max-likelihood particle
-    (particle_filter.cpp:226-236)."""
-    center = particles.ml_state()[ml_index]
-    return _cov_around(particles, center, n_active)
-
-
-def max_likelihood(
-    particles: Particles, ml_index: jnp.ndarray
-) -> jnp.ndarray:
-    return particles.ml_state()[ml_index]
+    """4x4 covariance about the max-likelihood particle state (captured
+    pre-resample, like the reference's surviving pointer;
+    particle_filter.cpp:144-149, 226-236)."""
+    return _cov_around(particles, ml_state, n_active)

@@ -69,7 +69,7 @@ def _state_spec(axis: str):
         n_active=P(),
         scale_frozen=P(),
         frozen_scale=P(),
-        ml_index=P(),
+        ml_state=P(),
         gmm=GMMState(means=P(), covs=P(), k=P()),
         key=P(),
         step=P(),
@@ -192,8 +192,10 @@ def make_sharded_step(
         )
         w_g = g.weight
 
-        # global argmax in local coords -> replicated ml_index
-        ml_index = jnp.argmax(w_g)
+        # max-weight particle state captured pre-resample (replicated;
+        # matches the reference's surviving pointer,
+        # particle_filter.cpp:144-149)
+        ml_state = g.ml_state()[jnp.argmax(w_g)]
 
         # adaptive count + GMM (redundant per shard, deterministic)
         n_new = gmm_mod.adaptive_particle_count(
@@ -228,14 +230,27 @@ def make_sharded_step(
         )
 
         def do_gmm(_):
+            # GMM over the POST-resample set (matches update_tail): the
+            # full resampled state is reconstructed from the replicated
+            # gather via j_all - no extra collective - so slots beyond
+            # the old n_active never leak stale resample leftovers into
+            # the strided sampler.
+            take_all = lambda a: jnp.take(a, j_all, axis=0)
+            full_alive = jnp.arange(n_max) < n_new
+            full_new = Particles(
+                init_px=take_all(g.init_px),
+                d_m=take_all(g.d_m),
+                theta=take_all(g.theta),
+                scale=take_all(g.scale),
+                have_init=take_all(g.have_init),
+                weight=jnp.where(
+                    full_alive, 1.0 / jnp.maximum(n_new, 1), 0.0
+                ).astype(jnp.float32),
+                last_dist=take_all(g.last_dist),
+                alive=full_alive,
+            )
             return gmm_mod.compute_gmm(
-                g.replace(
-                    weight=jnp.where(
-                        jnp.arange(n_max) < n_new,
-                        1.0 / jnp.maximum(n_new, 1),
-                        0.0,
-                    )
-                ),
+                full_new,
                 n_new,
                 state.gmm.k,
                 k_gmm,
@@ -271,7 +286,7 @@ def make_sharded_step(
         return state.replace(
             particles=new_p,
             n_active=n_new,
-            ml_index=ml_index,
+            ml_state=ml_state,
             gmm=new_gmm,
             key=key,
             step=state.step + 1,
