@@ -1,0 +1,156 @@
+"""Interpret-mode (CPU) parity tests for the Pallas crop kernel.
+
+Runs filter/pallas_score.py's kernel under pl.pallas_call(interpret=True)
+and compares against the exact-gather parity reference
+(filter/scoring.py::score_all_rotations), covering:
+
+  - tracked + init (theta-search) modes,
+  - all 16 x-residual M variants and all 8 y-residual stacked-map rows
+    (a 16x8 integer-center grid),
+  - map-edge windows reading the zero-padded border (dist 0 / known 0,
+    the reference's out-of-bounds semantics,
+    /root/reference/src/top_down_map_polar.cpp:38-50),
+  - fully out-of-range centers (beyond the padded stack -> kf 0).
+
+The map is stored bf16 on the crop path (f32 on the exact path), so cost
+parity is tolerance-based; a perturbed kernel (wrong shift, wrong pixel,
+wrong variant) produces O(1) relative errors on most particles and fails
+these bounds by orders of magnitude.
+
+p_tile is shrunk via monkeypatch: it is a pure performance knob (VMEM
+tile height) and interpret-mode emulates every DMA in Python, so small
+tiles keep the test fast while exercising identical kernel logic.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from top_down_renderer_tpu.filter import pallas_score as ps
+from top_down_renderer_tpu.filter.scoring import (
+    rotation_shift,
+    score_all_rotations,
+    search_shifts,
+)
+from top_down_renderer_tpu.maps.polar import polar_stencil
+
+H = W = 160
+C = 3
+TH, R = 100, 25
+F = 0.5  # scale * res -> mo bucket 12
+N = 256  # 128 residual-grid + 5 edge + 2 far-out + 121 random
+
+
+def _world():
+    rng = np.random.default_rng(3)
+    packed = np.zeros((H, W, 8), np.float32)
+    packed[..., :C] = rng.random((H, W, C)) * 50
+    packed[..., C] = (rng.random((H, W)) < 0.9).astype(np.float32)
+    stencil = polar_stencil(TH, R)
+    scan = (rng.random((C, TH, R)) * 3).astype(np.float32)
+    cw = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    maps = ps.build_padded_maps(jnp.asarray(packed))
+    return packed, stencil, scan, cw, maps, rng
+
+
+def _centers(rng):
+    # every (x % 16, y % 8) residual pair on integer centers
+    xs, ys = np.meshgrid(np.arange(16), np.arange(8))
+    grid = np.stack([40.0 + xs.ravel(), 40.0 + ys.ravel()], -1)
+    # map-edge centers whose crops read the zero border
+    edges = np.array(
+        [[1, 80], [W - 2, 80], [80, 1], [80, H - 2], [2, 2]], float
+    )
+    # far outside the padded stack -> in_range False -> kf 0
+    far = np.array([[-300.0, 80.0], [80.0, H + 300.0]])
+    rnd = rng.integers(2, min(H, W) - 2, (N - len(grid) - 7, 2))
+    out = np.concatenate([grid, edges, far, rnd]).astype(np.float32)
+    assert out.shape == (N, 2)
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup():
+    packed, stencil, scan, cw, maps, rng = _world()
+    centers = _centers(rng)
+    costs_e, kf_e = score_all_rotations(
+        jnp.asarray(packed),
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        jnp.full(N, 1.0, jnp.float32),  # scale 1, res F -> f = F
+        jnp.asarray(F, jnp.float32),
+        num_classes=C,
+        map_resolution=1.0,
+        chunk_size=N,
+    )
+    return (
+        stencil,
+        scan,
+        cw,
+        maps,
+        centers,
+        np.asarray(costs_e),
+        np.asarray(kf_e),
+        rng,
+    )
+
+
+def _check(ref, got, kf_ref, kf_got, label):
+    # fully out-of-range centers: both paths report known-fraction 0
+    far = kf_ref == 0.0
+    assert np.all(kf_got[far] == 0.0), f"{label}: far-out kf != 0"
+    ok = (kf_ref >= 0.5) & ~np.isnan(ref)
+    rel = np.abs(ref[ok] - got[ok]) / np.maximum(np.abs(ref[ok]), 1e-9)
+    assert np.median(rel) < 5e-3, f"{label}: median rel {np.median(rel)}"
+    assert np.mean(rel) < 2e-2, f"{label}: mean rel {np.mean(rel)}"
+    assert np.mean(rel > 0.1) < 0.02, (
+        f"{label}: {np.mean(rel > 0.1):.1%} outliers > 10%"
+    )
+    assert np.max(np.abs(kf_ref - kf_got)) < 1e-2, f"{label}: kf mismatch"
+
+
+def test_tracked_interpret_parity(setup, monkeypatch):
+    stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)
+    mo = ps.pick_crop_size(F, R)
+    assert mo == 12
+    thetas = (rng.random(N) * 2 * np.pi).astype(np.float32)  # all groups
+    num, den, kf = ps.score_tracked_fast_mo(
+        maps,
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        jnp.asarray(thetas),
+        F,
+        mo,
+        interpret=True,
+    )
+    s = np.asarray(rotation_shift(jnp.asarray(thetas), TH))
+    ref = costs_e[np.arange(N), s]
+    got = np.asarray(num) / np.asarray(den)
+    _check(ref, got, kf_e, np.asarray(kf), "tracked")
+
+
+def test_init_interpret_parity(setup, monkeypatch):
+    stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    mo = ps.pick_crop_size(F, R)
+    nums, dens, kf = ps.score_init_fast_mo(
+        maps,
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        F,
+        mo,
+        interpret=True,
+    )
+    ssh = np.asarray(search_shifts(TH, 40))
+    ref = costs_e[:, ssh]
+    got = np.asarray(nums) / np.asarray(dens)
+    kf_b = np.broadcast_to(np.asarray(kf)[:, None], ref.shape)
+    kfe_b = np.broadcast_to(kf_e[:, None], ref.shape)
+    _check(ref.ravel(), got.ravel(), kfe_b.ravel(), kf_b.ravel(), "init")
