@@ -81,12 +81,24 @@ def main():
     else:
         from top_down_renderer_tpu.filter import conv_score as cs
 
+        mode = os.environ.get("BENCH_MODE", "tracked")
+        mip = 1
         mo = ps.pick_crop_size(scale * res_v, range_bins)
-        region = cs.pick_region(extent + 16) if extent > 0 else None
+        if mo is None:
+            # exploration regime: mip-crop fallback (filter.py dispatch)
+            for mip in (2, 4, 8, 16, 32):
+                mo = ps.pick_crop_size(scale * res_v / mip, range_bins)
+                if mo is not None:
+                    break
+        region = (
+            cs.pick_region(extent + 16)
+            if extent > 0 and mip == 1
+            else None
+        )
         path = "conv" if region else "crop"
         # shift window: covers the theta band + noise/turn margin (the
         # runtime dispatch derives this from FilterState.smask)
-        if theta_spread > 0 and path == "conv":
+        if theta_spread > 0 and path == "conv" and mode == "tracked":
             span = int(np.ceil(theta_spread * theta_bins / np.pi)) + 1
             need = span + 1 + 2 * 4
             ww = next(
@@ -100,10 +112,15 @@ def main():
             ww, s0 = theta_bins, 0
         update = make_update_step_fast(
             params, grid_num_classes=c, map_resolution=1.0,
-            theta_bins=theta_bins, n_max=n, mode="tracked", mo=mo,
+            theta_bins=theta_bins, n_max=n, mode=mode, mo=mo,
             gmm_every=10, path=path, region=region or 0, window_w=ww,
+            mip=mip,
         )
-        map_arg = ps.build_padded_maps(packed)
+        map_arg = ps.build_padded_maps(
+            packed[::mip, ::mip] if mip > 1 else packed
+        )
+        if mip > 1:
+            path = f"crop-mip{mip}"
 
     prop = jax.jit(
         lambda st, sub: propagate(

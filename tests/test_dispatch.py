@@ -76,14 +76,40 @@ def test_fast_mode_selection():
     # scale 2, res 0.5 -> f=1 -> mo 24; clustered road init -> conv
     out = pf._fast_mode(0.5)
     assert out is not None
-    mode, mo, scale, path, region, s0, ww = out
+    mode, mo, scale, path, region, s0, ww, mip = out
     assert mode in ("tracked", "init")
     assert scale == 2.0
-    # f too large for any bucket -> None
-    assert pf._fast_mode(10.0) is None
+    assert mip == 1
     # unfrozen scale -> None
     pf2 = _pf(fixed_scale=-1.0)
     assert pf2._fast_mode(0.5) is None
+
+
+def test_fast_mode_mip_fallback():
+    """scale*res beyond every crop/conv bucket -> mip-crop dispatch with
+    the smallest power-of-2 level whose f/mip fits a bucket."""
+    from top_down_renderer_tpu.filter import pallas_score as ps
+
+    pf = _pf(fixed_scale=2.0)
+    # f = 2*2 = 4 -> mip 4 brings f_eff to 1.0 (mo 24)
+    out = pf._fast_mode(2.0)
+    assert out is not None
+    mode, mo, scale, path, region, s0, ww, mip = out
+    assert path == "crop" and mip == 4 and mo == 24
+    assert ps.pick_crop_size(scale * 2.0 / mip, 25) == mo
+    # f = 20 -> mip 32 (f_eff 0.625)
+    out = pf._fast_mode(10.0)
+    assert out is not None
+    _, mo, _, path, _, _, _, mip = out
+    assert path == "crop" and mip == 32 and mo == 24
+    # mip maps are cached per (version, level)
+    pm4 = pf._get_padded_maps(4)
+    assert pf._get_padded_maps(4) is pm4
+    g = pf.map.grid.dist
+    assert pm4.hp == (g.shape[0] + 3) // 4 + 2 * ps.MAP_PAD
+    pf._map_version += 1
+    pf._maps_cache.clear()
+    assert pf._get_padded_maps(4) is not pm4
 
 
 def test_conv_region_must_fit_padded_map():
@@ -97,7 +123,7 @@ def test_conv_region_must_fit_padded_map():
     pm = pf._get_padded_maps()
     out = pf._fast_mode(0.5)
     assert out is not None
-    _mode, mo, _scale, path, region, _s0, _ww = out
+    _mode, mo, _scale, path, region, _s0, _ww, _mip = out
     if path == "conv":
         dr, dc = cs.conv_dims(mo)
         assert region + dr - 1 <= pm.hp

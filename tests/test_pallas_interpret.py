@@ -134,6 +134,66 @@ def test_tracked_interpret_parity(setup, monkeypatch):
     _check(ref, got, kf_e, np.asarray(kf), "tracked")
 
 
+def test_mip_crop_parity(monkeypatch):
+    """Exploration-regime mip path: scoring against a mip-strided map
+    with f/mip at resolution*mip must equal the exact gather evaluated
+    on that same subsampled map (filter.py dispatches exactly these
+    arguments when scale*res exceeds every crop bucket)."""
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    mip, f = 4, 4.0  # f_eff = 1.0 -> mo 24
+    hh = ww_ = 320
+    rng = np.random.default_rng(11)
+    packed = np.zeros((hh, ww_, 8), np.float32)
+    packed[..., :C] = rng.random((hh, ww_, C)) * 50
+    packed[..., C] = (rng.random((hh, ww_)) < 0.9).astype(np.float32)
+    packed_mip = packed[::mip, ::mip]
+    stencil = polar_stencil(TH, R)
+    scan = (rng.random((C, TH, R)) * 3).astype(np.float32)
+    cw = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    maps = ps.build_padded_maps(jnp.asarray(packed_mip))
+
+    n = 128
+    # centers on multiples of mip (exact c/mip), covering all residuals
+    xs, ys = np.meshgrid(np.arange(16), np.arange(7))
+    grid = np.stack(
+        [120.0 + mip * xs.ravel(), 120.0 + mip * ys.ravel()], -1
+    )
+    rnd = mip * rng.integers(8, (hh - 32) // mip, (n - len(grid), 2))
+    centers = np.concatenate([grid, rnd]).astype(np.float32)
+
+    costs_e, kf_e = score_all_rotations(
+        jnp.asarray(packed_mip),
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        jnp.full(n, 1.0, jnp.float32),
+        jnp.asarray(f / mip, jnp.float32),
+        num_classes=C,
+        map_resolution=float(mip),
+        chunk_size=n,
+    )
+    mo = ps.pick_crop_size(f / mip, R)
+    assert mo == 24
+    nums, dens, kf = ps.score_init_fast_mo(
+        maps,
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        f / mip,
+        mo,
+        map_resolution=float(mip),
+        interpret=True,
+    )
+    ssh = np.asarray(search_shifts(TH, 40))
+    ref = np.asarray(costs_e)[:, ssh]
+    got = np.asarray(nums) / np.asarray(dens)
+    kf_b = np.broadcast_to(np.asarray(kf)[:, None], ref.shape)
+    kfe_b = np.broadcast_to(np.asarray(kf_e)[:, None], ref.shape)
+    _check(ref.ravel(), got.ravel(), kfe_b.ravel(), kf_b.ravel(), "mip")
+
+
 def test_init_interpret_parity(setup, monkeypatch):
     stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
     monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)

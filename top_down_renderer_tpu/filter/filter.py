@@ -278,6 +278,7 @@ def make_update_step_fast(
     path: str = "crop",  # "crop" (Pallas) | "conv" (clustered grid)
     region: int = 128,
     window_w: int = 100,
+    mip: int = 1,
 ):
     """Update using a fast scoring path (uniform scale): a jitted scoring
     stage + the shared jitted tail (two dispatches; both stay on device).
@@ -287,7 +288,15 @@ def make_update_step_fast(
     path="crop": Pallas per-particle crop DMA kernel - any spatial
     spread.  path="conv": one XLA conv cost-field over the particle
     bounding region - much faster when the cloud is clustered (the
-    converged regime)."""
+    converged regime).
+
+    mip > 1 (crop path only) scores against a 'mip'-strided subsample
+    of the map: the caller passes the matching subsampled PaddedMaps and
+    the scorer sees f/mip at resolution map_resolution*mip.  This covers
+    the exploration regime (scale*res beyond the finest crop bucket,
+    /root/reference/src/state_particle.cpp:195-206 at coarse range
+    scales) with a documented NN-granularity approximation of 'mip' px
+    instead of 1 px."""
     from top_down_renderer_tpu.filter import pallas_score as ps
     from top_down_renderer_tpu.filter import conv_score as cs
 
@@ -323,7 +332,7 @@ def make_update_step_fast(
             else:
                 num, den, kf = ps.score_tracked_fast_mo(
                     maps, stencil, scan, class_weights, p.pose_px(),
-                    p.theta, f, mo, map_resolution,
+                    p.theta, f / mip, mo, map_resolution * mip,
                 )
             cost = num / den
             cost = jnp.where(kf < 0.5, jnp.nan, cost)
@@ -336,7 +345,8 @@ def make_update_step_fast(
         else:
             nums, dens, kf = ps.score_init_fast_mo(
                 maps, stencil, scan, class_weights, p.pose_px(),
-                f, mo, params.num_rot_search, map_resolution,
+                f / mip, mo, params.num_rot_search,
+                map_resolution * mip,
             )
         costs = nums / dens
         costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
@@ -569,8 +579,21 @@ class ParticleFilter:
         mo_conv = ps.pick_crop_size(
             scale * res, range_bins, ps._MO_BUCKETS_CONV
         )
+        mip = 1
         if mo_crop is None and mo_conv is None:
-            return None
+            # exploration regime (scale*res beyond every bucket): score
+            # against a 2^k-strided mip of the map; NN granularity
+            # degrades to 'mip' px - the coarse-to-fine tradeoff the
+            # reference pays in time instead (its theta-search sweep,
+            # state_particle.cpp:195-206, at coarse range scales)
+            for mip in (2, 4, 8, 16, 32):
+                mo_crop = ps.pick_crop_size(
+                    scale * res / mip, range_bins
+                )
+                if mo_crop is not None:
+                    break
+            else:
+                return None
         if self._all_have_init:
             mode = "tracked"
         else:
@@ -588,7 +611,11 @@ class ParticleFilter:
 
         # clustered cloud -> conv cost-field path (bbox kept on device)
         region = None
-        if int(self.state.n_active) > 0 and mo_conv is not None:
+        if (
+            mip == 1
+            and int(self.state.n_active) > 0
+            and mo_conv is not None
+        ):
             bb = np.asarray(self.state.bbox) / self.map.resolution
             extent = int(
                 np.ceil(max(bb[2] - bb[0], bb[3] - bb[1]))
@@ -603,9 +630,11 @@ class ParticleFilter:
                     region = None
         if region is not None:
             s0, ww = self._shift_window()
-            return (mode, mo_conv, scale, "conv", region, s0, ww)
+            return (mode, mo_conv, scale, "conv", region, s0, ww, 1)
         if mo_crop is not None:
-            return (mode, mo_crop, scale, "crop", 0, 0, self.theta_bins)
+            return (
+                mode, mo_crop, scale, "crop", 0, 0, self.theta_bins, mip
+            )
         return None
 
     def _shift_window(self):
@@ -638,21 +667,25 @@ class ParticleFilter:
                 return int(s0), ww
         return 0, th
 
-    def _get_padded_maps(self):
+    def _get_padded_maps(self, mip: int = 1):
+        """DMA-ready padded map stack at a mip level ('mip'-strided
+        subsample; level 1 = full resolution).  Cached per (map version,
+        level); update_map clears the cache."""
         from top_down_renderer_tpu.filter import pallas_score as ps
 
-        key = self._map_version
+        key = (self._map_version, mip)
         if key not in self._maps_cache:
-            self._maps_cache = {
-                key: ps.build_padded_maps(self.map.grid.dist)
-            }
+            dist = self.map.grid.dist
+            if mip > 1:
+                dist = dist[::mip, ::mip]
+            self._maps_cache[key] = ps.build_padded_maps(dist)
         return self._maps_cache[key]
 
     def _get_fast_fn(
         self, mode: str, mo: int, path: str = "crop", region: int = 0,
-        window_w: int = 100,
+        window_w: int = 100, mip: int = 1,
     ):
-        key = (mode, mo, path, region, window_w)
+        key = (mode, mo, path, region, window_w, mip)
         if key not in self._fast_fns:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
@@ -672,6 +705,7 @@ class ParticleFilter:
                 path=path,
                 region=region,
                 window_w=window_w,
+                mip=mip,
             )
         return self._fast_fns[key]
 
@@ -694,43 +728,68 @@ class ParticleFilter:
             if self.params.fixed_scale > 0
             else float(self.state.particles.scale[0])
         )
-        mo = ps.pick_crop_size(
-            scale * res, self.map.stencil.shape[1], ps._MO_BUCKETS_CONV
-        )
-        if mo is None:
-            return
+        range_bins = self.map.stencil.shape[1]
         g = self.map.grid
         map_size_scaled = (
             jnp.asarray([g.width, g.height], dtype=jnp.float32)
             * self.map.resolution
         )
         dummy_scan = jnp.zeros(
-            (g.num_classes, self.theta_bins,
-             self.map.stencil.shape[1]),
-            jnp.float32,
+            (g.num_classes, self.theta_bins, range_bins), jnp.float32
         )
-        from top_down_renderer_tpu.filter import conv_score as cs
+        stencil = jnp.asarray(self.map.stencil)
+        res_j = jnp.asarray(res, jnp.float32)
 
-        dr, dc = cs.conv_dims(mo)
-        pm = self._get_padded_maps()
-        regions = [
-            r for r in regions
-            if r + dr - 1 <= pm.hp and r + dc - 1 <= pm.wp
-        ]
-        for mode in modes:
-            for region in regions:
-                for ww in windows if mode == "tracked" else (100,):
-                    fn = self._get_fast_fn(mode, mo, "conv", region, ww)
-                    fn(
-                        self.state,
-                        self._get_padded_maps(),
-                        map_size_scaled,
-                        jnp.asarray(self.map.stencil),
-                        dummy_scan,
-                        jnp.asarray(res, jnp.float32),
-                        f_host=scale * res,
-                        s0=0,
-                    )
+        def warm(fn, mip=1):
+            fn(
+                self.state,
+                self._get_padded_maps(mip),
+                map_size_scaled,
+                stencil,
+                dummy_scan,
+                res_j,
+                f_host=scale * res,
+                s0=0,
+            )
+
+        mo = ps.pick_crop_size(
+            scale * res, range_bins, ps._MO_BUCKETS_CONV
+        )
+        if mo is not None:
+            from top_down_renderer_tpu.filter import conv_score as cs
+
+            dr, dc = cs.conv_dims(mo)
+            pm = self._get_padded_maps()
+            regs = [
+                r for r in regions
+                if r + dr - 1 <= pm.hp and r + dc - 1 <= pm.wp
+            ]
+            for mode in modes:
+                for region in regs:
+                    for ww in windows if mode == "tracked" else (100,):
+                        warm(
+                            self._get_fast_fn(mode, mo, "conv", region, ww)
+                        )
+        # crop / mip-crop variant for the same operating point (the
+        # spread-cloud regime the dispatch falls to before convergence);
+        # the Pallas kernel only compiles on TPU
+        if jax.default_backend() in ("cpu",):
+            return
+        mip = 1
+        mo_crop = ps.pick_crop_size(scale * res, range_bins)
+        if mo_crop is None:
+            for mip in (2, 4, 8, 16, 32):
+                mo_crop = ps.pick_crop_size(scale * res / mip, range_bins)
+                if mo_crop is not None:
+                    break
+        if mo_crop is not None:
+            for mode in modes:
+                warm(
+                    self._get_fast_fn(
+                        mode, mo_crop, "crop", 0, self.theta_bins, mip
+                    ),
+                    mip,
+                )
 
     def update(self, scan, res) -> None:
         """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
@@ -746,12 +805,12 @@ class ParticleFilter:
         stencil = jnp.asarray(self.map.stencil)
         fast = self._fast_mode(float(res))
         if fast is not None:
-            mode, mo, scale_h, path, region, s0, ww = fast
+            mode, mo, scale_h, path, region, s0, ww, mip = fast
             self.state = self._get_fast_fn(
-                mode, mo, path, region, ww
+                mode, mo, path, region, ww, mip
             )(
                 self.state,
-                self._get_padded_maps(),
+                self._get_padded_maps(mip),
                 map_size_scaled,
                 stencil,
                 scan,

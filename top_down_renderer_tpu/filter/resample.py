@@ -60,15 +60,42 @@ def systematic_resample(
     j = _systematic_indices(weights, n_new, n_active_old, shift)
 
     alive = jnp.arange(n) < n_new
-    take = lambda a: jnp.take(a, j, axis=0)
     w_new = jnp.where(alive, 1.0 / jnp.maximum(n_new, 1), 0.0)
+    # ONE (N, 8) row gather instead of 8 per-field gathers: TPU gathers
+    # are descriptor-bound (~1.7e8 desc/s), so packing the fields cuts
+    # the descriptor count 8x; the pack/unpack copies fuse away.
+    packed = pack_fields(particles)
+    return unpack_fields(
+        jnp.take(packed, j, axis=0), w_new.astype(jnp.float32), alive
+    )
+
+
+def pack_fields(p: Particles) -> jnp.ndarray:
+    """(N, 8) f32: init_px | d_m | theta | scale | last_dist | have_init
+    (bool as 0/1 float - exact)."""
+    return jnp.concatenate(
+        [
+            p.init_px,
+            p.d_m,
+            p.theta[:, None],
+            p.scale[:, None],
+            p.last_dist[:, None],
+            p.have_init.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_fields(
+    g: jnp.ndarray, weight: jnp.ndarray, alive: jnp.ndarray
+) -> Particles:
     return Particles(
-        init_px=take(particles.init_px),
-        d_m=take(particles.d_m),
-        theta=take(particles.theta),
-        scale=take(particles.scale),
-        have_init=take(particles.have_init),
-        weight=w_new.astype(jnp.float32),
-        last_dist=take(particles.last_dist),
+        init_px=g[:, 0:2],
+        d_m=g[:, 2:4],
+        theta=g[:, 4],
+        scale=g[:, 5],
+        have_init=g[:, 7] > 0.5,
+        weight=weight,
+        last_dist=g[:, 6],
         alive=alive,
     )

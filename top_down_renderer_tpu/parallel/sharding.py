@@ -178,19 +178,24 @@ def make_sharded_step(
         w = jnp.where(p.alive, d * w + (1.0 - d) / na, 0.0)
         w = w / psum(jnp.sum(w))
 
-        # --- gather global compact state for resampling + GMM ---
-        ag = lambda x: jax.lax.all_gather(x, axis, tiled=True)
-        g = Particles(
-            init_px=ag(p.init_px),
-            d_m=ag(p.d_m),
-            theta=ag(p.theta),
-            scale=ag(p.scale),
-            have_init=ag(p.have_init),
-            weight=ag(w),
-            last_dist=ag(p.last_dist),
-            alive=ag(p.alive),
+        # --- gather global compact state for resampling + GMM: the 10
+        #     per-particle fields ride ONE all_gather (40 B/particle) ---
+        from top_down_renderer_tpu.filter.resample import (
+            pack_fields,
+            unpack_fields,
         )
-        w_g = g.weight
+
+        packed_local = jnp.concatenate(
+            [
+                pack_fields(p),
+                w[:, None],
+                p.alive.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )  # (n_local, 10)
+        g10 = jax.lax.all_gather(packed_local, axis, tiled=True)
+        w_g = g10[:, 8]
+        g = unpack_fields(g10[:, :8], w_g, g10[:, 9] > 0.5)
 
         # max-weight particle state captured pre-resample (replicated;
         # matches the reference's surviving pointer,
@@ -215,18 +220,12 @@ def make_sharded_step(
         )
         j = jax.lax.dynamic_slice(j_all, (my * n_local,), (n_local,))
         alive = i < n_new
-        take = lambda a: jnp.take(a, j, axis=0)
-        new_p = Particles(
-            init_px=take(g.init_px),
-            d_m=take(g.d_m),
-            theta=take(g.theta),
-            scale=take(g.scale),
-            have_init=take(g.have_init),
-            weight=jnp.where(
-                alive, 1.0 / jnp.maximum(n_new, 1), 0.0
-            ).astype(jnp.float32),
-            last_dist=take(g.last_dist),
-            alive=alive,
+        new_p = unpack_fields(
+            jnp.take(g10[:, :8], j, axis=0),
+            jnp.where(alive, 1.0 / jnp.maximum(n_new, 1), 0.0).astype(
+                jnp.float32
+            ),
+            alive,
         )
 
         def do_gmm(_):
@@ -235,19 +234,13 @@ def make_sharded_step(
             # gather via j_all - no extra collective - so slots beyond
             # the old n_active never leak stale resample leftovers into
             # the strided sampler.
-            take_all = lambda a: jnp.take(a, j_all, axis=0)
             full_alive = jnp.arange(n_max) < n_new
-            full_new = Particles(
-                init_px=take_all(g.init_px),
-                d_m=take_all(g.d_m),
-                theta=take_all(g.theta),
-                scale=take_all(g.scale),
-                have_init=take_all(g.have_init),
-                weight=jnp.where(
+            full_new = unpack_fields(
+                jnp.take(g10[:, :8], j_all, axis=0),
+                jnp.where(
                     full_alive, 1.0 / jnp.maximum(n_new, 1), 0.0
                 ).astype(jnp.float32),
-                last_dist=take_all(g.last_dist),
-                alive=full_alive,
+                full_alive,
             )
             return gmm_mod.compute_gmm(
                 full_new,
