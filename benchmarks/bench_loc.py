@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Closed-loop accuracy + convergence benchmark on the city drive.
+
+The TPU-native equivalent of the reference's benchmark_loc.py /
+benchmark_conv.py runs (/root/reference/scripts/benchmark_loc.py:43-96,
+benchmark_conv.py:52-83): drives the REAL TopDownRenderNode through the
+recorded npz Bag (benchmarks/data/city.npz - regenerate with
+city_bag.py), compares post-convergence pose_est against GPS, sweeps
+start offsets for time/distance-to-converge, and merges the results
+into benchmarks/loc_results.json.
+
+Usage: python benchmarks/bench_loc.py [--runs 3] [--offsets 0,30,60]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tdr")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+from city_bag import CLASS_COLORS, CLASS_NAMES
+
+
+def make_node_factory(data_dir, particle_count, seed_base=0):
+    from top_down_renderer_tpu.config import (
+        ClassConfig,
+        MapConfig,
+        RuntimeParams,
+    )
+    from top_down_renderer_tpu.runtime.node import TopDownRenderNode
+
+    color_lut = np.full((256, 3), 255, np.uint8)
+    for i, col in enumerate(CLASS_COLORS):
+        color_lut[i] = col
+    cc = ClassConfig(
+        color_lut=color_lut,
+        class_to_flattened=list(range(len(CLASS_NAMES))),
+        flattened_to_class=list(range(len(CLASS_NAMES))),
+        exclusivity=[True] * len(CLASS_NAMES),
+        loc_weight=[0.1, 1.0, 2.5, 1.5, 2.0, 2.0],
+    )
+    with open(os.path.join(data_dir, "city_meta.json")) as f:
+        meta = json.load(f)
+    mc = MapConfig(
+        raster_path=os.path.join(data_dir, "city.png"),
+        resolution=float(meta["scale_px_m"]),
+    )
+    rt = RuntimeParams(
+        particle_count=particle_count,
+        use_motion_prior=True,
+    )
+
+    def make_node(run_idx):
+        return TopDownRenderNode(
+            cc, mc, rt,
+            filter_overrides=dict(
+                regularization=0.02, pos_cov=0.1, force_on_map=True
+            ),
+            seed=seed_base + run_idx,
+        )
+
+    return make_node, meta
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data"))
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--particles", type=int, default=20000)
+    ap.add_argument("--offsets", default="0,30,60,90,120")
+    ap.add_argument("--skip-conv", action="store_true")
+    args = ap.parse_args()
+
+    from top_down_renderer_tpu.io import (
+        Bag,
+        benchmark_conv,
+        benchmark_loc,
+    )
+
+    bag = Bag.load(os.path.join(args.data, "city.npz"))
+    make_node, meta = make_node_factory(args.data, args.particles)
+
+    t0 = time.perf_counter()
+    loc = benchmark_loc(make_node, bag, runs=args.runs)
+    loc_s = time.perf_counter() - t0
+    conv_times = [
+        r["first_converged_stamp"] - r["start_stamp"]
+        for r in loc["runs"]
+        if r["first_converged_stamp"] is not None
+    ]
+    summary = {
+        "workload": "city drive "
+        f"({meta['drive_len_m']:.0f} m, {meta['steps']} scans, "
+        f"{meta['hw']}px map @ {meta['scale_px_m']} px/m)",
+        "particles": args.particles,
+        "runs": args.runs,
+        "mean_error_m": round(loc["mean_error_m"], 3),
+        "median_error_m": round(loc["median_error_m"], 3),
+        "per_run_mean_error_m": [
+            round(float(r["errors"].mean()), 3)
+            for r in loc["runs"] if len(r["errors"])
+        ],
+        "time_to_converge_s": [round(t, 1) for t in conv_times],
+        "wall_s": round(loc_s, 1),
+    }
+    print(json.dumps({"benchmark_loc": summary}), flush=True)
+
+    out = {"benchmark_loc": summary}
+    if not args.skip_conv:
+        offsets = [float(x) for x in args.offsets.split(",")]
+        t0 = time.perf_counter()
+        conv = benchmark_conv(
+            make_node, bag, offsets=offsets, poses_after=120
+        )
+        out["benchmark_conv"] = {
+            "offsets": offsets,
+            "convergence_rate": conv["convergence_rate"],
+            "mean_time_to_converge_s": round(
+                conv["mean_time_to_converge_s"], 2
+            ),
+            "sweeps": [
+                {
+                    k: (round(v, 2) if isinstance(v, float) else v)
+                    for k, v in s.items()
+                }
+                for s in conv["sweeps"]
+            ],
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        print(json.dumps({"benchmark_conv": out["benchmark_conv"]}),
+              flush=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "loc_results.json"
+    )
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except json.JSONDecodeError:
+            pass
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

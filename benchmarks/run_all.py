@@ -19,15 +19,40 @@ import numpy as np
 
 
 def _world(h, w, c, seed=0):
-    """Synthetic c-class world: road strip + blocks of the other classes."""
+    """Synthetic c-class world: road network + blocks of the other classes.
+
+    The original strip-road world was invariant under x-translation and
+    180-degree rotation, so the filter could lock onto a mirror mode
+    exactly (diag_divergence.py measured dy ~ 0.2 px, dtheta ~ pi,
+    error purely along x - a world ambiguity, not a filter bug).  The
+    generator now breaks both symmetries: irregular one-sided cross
+    streets and a distinctive near-road block constellation inside every
+    sensor window."""
     rng = np.random.default_rng(seed)
     maps = np.ones((c, h, w), np.float32)
-    maps[1, h // 2 - 5 : h // 2 + 6, :] = 0.0  # road
+    maps[1, h // 2 - 5 : h // 2 + 6, :] = 0.0  # main road strip
+    # irregular cross streets (up-only / down-only / full) break the
+    # x-translation and 180-rotation symmetry of the strip
+    n_cross = max(6, w // 96)
+    xs = rng.choice(np.arange(16, w - 16), size=n_cross, replace=False)
+    for i, x in enumerate(np.sort(xs)):
+        if i % 3 == 0:
+            maps[1, : h // 2, x - 3 : x + 4] = 0.0
+        elif i % 3 == 1:
+            maps[1, h // 2 :, x - 3 : x + 4] = 0.0
+        else:
+            maps[1, :, x - 3 : x + 4] = 0.0
+    # blocks of the other classes, denser near the road so every sensor
+    # window sees a distinctive constellation
     for cls in range(2, c):
-        for _ in range(max(6, h // 24)):
-            y = int(rng.integers(4, h - 20))
+        for _ in range(max(12, (h * w) // 16384)):
+            if rng.random() < 0.7:
+                y = int(h // 2 + rng.choice([-1, 1]) * rng.integers(9, 44))
+            else:
+                y = int(rng.integers(4, h - 20))
+            y = int(np.clip(y, 4, h - 20))
             x = int(rng.integers(4, w - 20))
-            sz = int(rng.integers(6, 14))
+            sz = int(rng.integers(4, 14))
             if np.any(maps[1, y : y + sz, x : x + sz] == 0):
                 continue
             maps[cls, y : y + sz, x : x + sz] = 0.0
@@ -219,8 +244,18 @@ def main():
         results.append(r)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    # merge with any prior run so a subset selection never clobbers
+    # other configs' results
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["config"]: r for r in json.load(f)}
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
+    merged.update({r["config"]: r for r in results})
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump([merged[k] for k in sorted(merged)], f, indent=1)
 
 
 if __name__ == "__main__":
