@@ -41,7 +41,7 @@ def test_conv_tracked_matches_exact():
     scorer = cs.make_conv_scorer(mo, 64, "tracked")
     alive = jnp.ones(len(centers), bool)
     num, den, kf = scorer(
-        maps.padded3d, maps.pad, stencil, scan, cw,
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
         jnp.asarray(centers), jnp.asarray(thetas), f, alive,
     )
     cost = np.asarray(num / den)
@@ -76,7 +76,7 @@ def test_conv_init_matches_exact():
     scorer = cs.make_conv_scorer(mo, 64, "init")
     alive = jnp.ones(len(centers), bool)
     nums, dens, kf = scorer(
-        maps.padded3d, maps.pad, stencil, scan, cw,
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
         jnp.asarray(centers), jnp.asarray(thetas), f, alive,
     )
     costs = np.asarray(nums / dens)
@@ -105,13 +105,60 @@ def test_region_origin_ignores_dead_particles():
     centers2[0] = (5.0, 5.0)
     alive2 = alive.at[0].set(False)
     _, _, kf_a = scorer(
-        maps.padded3d, maps.pad, stencil, scan, cw,
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
         jnp.asarray(centers), jnp.asarray(thetas), f, alive,
     )
     _, _, kf_b = scorer(
-        maps.padded3d, maps.pad, stencil, scan, cw,
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
         jnp.asarray(centers2), jnp.asarray(thetas), f, alive2,
     )
     np.testing.assert_allclose(
         np.asarray(kf_a)[1:], np.asarray(kf_b)[1:], atol=1e-6
     )
+
+
+def test_s2d_field_matches_direct():
+    """The phase-folded conv must reproduce the direct cost field
+    bit-for-bit up to f32 accumulation order, at every (roy, rox)
+    residual of the region origin."""
+    rng = np.random.default_rng(7)
+    mo = 12
+    dr, dc = cs.conv_dims(mo)
+    s_out = 9
+    region = 64
+    kernel = jnp.asarray(
+        rng.standard_normal((s_out, dr, dc, 8)), jnp.bfloat16
+    )
+    packed = jnp.asarray(rng.random((200, 200, 8)), jnp.float32)
+    maps = ps.build_padded_maps(packed)
+    nxb = region // cs.F_S2D + 1
+    for oy, ox in [(20, 20), (21, 34), (23, 33), (50, 17)]:
+        origin = jnp.asarray([oy + maps.pad, ox + maps.pad])
+        direct = np.asarray(
+            cs.cost_field(
+                maps.padded3d, kernel, origin, mo, region, s_out
+            )
+        )
+        out4, roy, rox = cs.cost_field_s2d(
+            maps.padded4d, kernel, origin, mo, region, s_out
+        )
+        out4 = np.asarray(out4)
+        roy, rox = int(roy), int(rox)
+        folded = np.zeros_like(direct)
+        for iy in range(region):
+            for ix in range(region):
+                jy, jx = iy + roy, ix + rox
+                ch = ((jy % 4) * 4 + jx % 4) * s_out
+                folded[iy, ix] = out4[
+                    jy // 4, jx // 4, ch : ch + s_out
+                ]
+        np.testing.assert_allclose(
+            folded, direct, rtol=2e-2, atol=2e-2
+        )
+
+
+def test_conv_tracked_direct_path_matches_exact(monkeypatch):
+    """Force the non-folded conv (K4 gate at 0) through the same parity
+    check so both field implementations stay covered."""
+    monkeypatch.setattr(cs, "K4_MAX_BYTES", 0)
+    test_conv_tracked_matches_exact()

@@ -105,6 +105,125 @@ def build_conv_kernel(
     return base.reshape(s_out, dr, dc, C_PAD)
 
 
+# ---------------------------------------------------------------------
+# Space-to-depth phase folding: the MXU-dense conv formulation.
+#
+# XLA's TPU conv pads the contraction channel dim to 128, so the
+# C_PAD=8 direct conv wastes 15/16 of its im2col traffic and MXU depth
+# (measured ~8 ms at region 128 / mo 24).  Folding 4x4 spatial phases
+# of the map into the channel dim makes the contraction exactly
+# 128-dense:
+#
+#   map4[Y, X, (qy, qx, c)]   = map[4Y+qy, 4X+qx, c]      (once per map)
+#   K4[(py, px, s), DY, DX, (qy, qx, c)] = K[s, 4DY+qy-py, 4DX+qx-px, c]
+#   out4[Yb, Xb, (py, px, s)] = VALID conv(map4 block, K4)
+#
+# and field[j, x] for center row j = 4Yb + py reads out4[Yb, ...] at
+# channel (py*4 + px)*S + s.  Same arithmetic, 16x less im2col traffic.
+F_S2D = 4
+# kernel-size gate: above this the folded kernel's HBM traffic stops
+# paying for itself; fall back to the direct conv.  256 MB covers the
+# full-window tracked kernel at mo=24 (161 MB) - still ~20x less HBM
+# traffic than the direct conv's channel-padded im2col
+K4_MAX_BYTES = 256 * 2**20
+
+
+def s2d_extent(d: int) -> int:
+    """Folded kernel spatial extent: dy + (qy - py) spans [-3, d+2]."""
+    return (d + 2) // F_S2D + 1
+
+
+def fold_map_s2d(padded3d: jnp.ndarray) -> jnp.ndarray:
+    """(Hp, Wp, 8) -> (ceil/4 + margin, ceil/4 + margin, 128) bf16.
+
+    80 extra zero rows/cols cover the folded conv's read-ahead past the
+    direct path's block end: at most 10 px single-chip, plus up to
+    4*(n_dev-1) px of row-padding when the field is row-sharded over a
+    mesh (parallel/sharding.py, n_dev <= 16).  Zeros = out-of-bounds
+    semantics (/root/reference/src/top_down_map_polar.cpp:38-50)."""
+    h, w, c = padded3d.shape
+    f = F_S2D
+    hp = ((h + f - 1) // f) * f + 80
+    wp = ((w + f - 1) // f) * f + 80
+    p = jnp.pad(
+        padded3d.astype(jnp.bfloat16), ((0, hp - h), (0, wp - w), (0, 0))
+    )
+    return (
+        p.reshape(hp // f, f, wp // f, f, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(hp // f, wp // f, f * f * c)
+    )
+
+
+def fold_kernel_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(S, dr, dc, 8) OHWI -> (16*S, DYe, DXe, 128) OHWI.
+
+    Output channel (py*4 + px)*S + s scores centers at spatial phase
+    (py, px); folded input channel order (qy, qx, c) matches
+    fold_map_s2d."""
+    s, dr, dc, c = kernel.shape
+    f = F_S2D
+    dye, dxe = s2d_extent(dr), s2d_extent(dc)
+    kp = jnp.pad(
+        kernel,
+        ((0, 0), (3, f * dye - dr), (3, f * dxe - dc), (0, 0)),
+    )
+    phases = []
+    for py in range(f):
+        for px in range(f):
+            ks = jax.lax.slice(
+                kp,
+                (0, 3 - py, 3 - px, 0),
+                (s, 3 - py + f * dye, 3 - px + f * dxe, c),
+            )
+            phases.append(
+                ks.reshape(s, dye, f, dxe, f, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(s, dye, dxe, f * f * c)
+            )
+    return jnp.concatenate(phases, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mo", "region", "s_out")
+)
+def cost_field_s2d(
+    map4: jnp.ndarray,
+    kernel: jnp.ndarray,
+    origin_yx: jnp.ndarray,
+    mo: int,
+    region: int,
+    s_out: int,
+):
+    """Folded-phase cost field.  Returns (out4 (nYb, nXb, 16*s_out) f32,
+    roy, rox): the center at padded (origin_y + iy, origin_x + ix) lives
+    at j = iy + roy, Yb = j // 4, py = j % 4 (same for x), channel
+    (py*4 + px)*s_out + s."""
+    dr, dc = conv_dims(mo)
+    f = F_S2D
+    dye, dxe = s2d_extent(dr), s2d_extent(dc)
+    nyb, nxb = region // f + 1, region // f + 1
+    k4 = fold_kernel_s2d(kernel)
+    y0 = origin_yx[0] - dr // 2
+    x0 = origin_yx[1] - dc // 2
+    ys4, roy = y0 // f, y0 % f
+    xs4, rox = x0 // f, x0 % f
+    block = jax.lax.dynamic_slice(
+        map4,
+        (ys4, xs4, 0),
+        (nyb + dye - 1, nxb + dxe - 1, f * f * C_PAD),
+    )
+    out = jax.lax.conv_general_dilated(
+        block[None],
+        k4,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0], roy, rox
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mo", "region", "s_out"),
@@ -157,10 +276,22 @@ def make_conv_scorer(
     The caller guarantees every alive particle's rounded center falls in
     a (region, region) box (host-checked); stragglers are clamped to the
     box edge and will score as if at the edge (callers fall back to the
-    crop path when the cloud doesn't fit)."""
+    crop path when the cloud doesn't fit).
 
-    def score(padded3d, pad, stencil, scan, class_weights, center_px,
-              theta, f, alive, s0=0):
+    When the folded kernel fits the K4_MAX_BYTES gate the field runs on
+    the space-to-depth formulation (16x less im2col traffic; identical
+    arithmetic, f32 accumulation order differs)."""
+    s_out = (
+        2 * window_w + 1 if mode == "tracked" else 2 * num_rot + 1
+    )
+    dr, dc = conv_dims(mo)
+    k4_bytes = (
+        16 * s_out * s2d_extent(dr) * s2d_extent(dc) * 128 * 2
+    )
+    use_s2d = k4_bytes <= K4_MAX_BYTES
+
+    def score(padded3d, padded4d, pad, stencil, scan, class_weights,
+              center_px, theta, f, alive, s0=0):
         th, r, _ = stencil.shape
         kernel = build_conv_kernel(
             scan, class_weights, stencil, f, mo, mode, num_rot,
@@ -187,19 +318,33 @@ def make_conv_scorer(
             dc // 2,
             wp - (region + dc - 1) + dc // 2,
         )
-        field = cost_field(
-            padded3d,
-            kernel,
-            jnp.stack([oy, ox]),
-            mo,
-            region,
-            kernel.shape[0],
-        )
         iy = jnp.clip(cy - oy, 0, region - 1)
         ix = jnp.clip(cx - ox, 0, region - 1)
-        flat = field.reshape(-1)
-        s_out = kernel.shape[0]
-        base = (iy * region + ix) * s_out
+        if use_s2d:
+            out4, roy, rox = cost_field_s2d(
+                padded4d, kernel, jnp.stack([oy, ox]), mo, region,
+                s_out,
+            )
+            flat = out4.reshape(-1)
+            nxb = region // F_S2D + 1
+            jy = iy + roy
+            jx = ix + rox
+            base = (
+                ((jy // F_S2D) * nxb + jx // F_S2D) * 16
+                + (jy % F_S2D) * F_S2D
+                + jx % F_S2D
+            ) * s_out
+        else:
+            field = cost_field(
+                padded3d,
+                kernel,
+                jnp.stack([oy, ox]),
+                mo,
+                region,
+                s_out,
+            )
+            flat = field.reshape(-1)
+            base = (iy * region + ix) * s_out
         if mode == "tracked":
             s = rotation_shift(theta, th)
             # column within the circular window; clamped for noise-tail

@@ -105,6 +105,7 @@ class PaddedMaps:
 
     stacked: jnp.ndarray  # (8, Hp, Wp*8) bf16 row-shifted copies
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
+    padded4d: jnp.ndarray  # (~Hp/4, ~Wp/4, 128) bf16 s2d phase fold
     hp: int = struct.field(pytree_node=False, default=0)
     wp: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
@@ -113,6 +114,8 @@ class PaddedMaps:
 def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     """(H, W, 8) f32 -> zero-padded bf16 2D view stacked over 8 y-shifts.
     Zeros = dist 0 / known 0 = the reference's out-of-bounds values."""
+    from top_down_renderer_tpu.filter.conv_score import fold_map_s2d
+
     p = jnp.pad(
         packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
     )
@@ -122,8 +125,8 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     hp = hp_full - 8
     stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
     return PaddedMaps(
-        stacked=stacked, padded3d=p[:hp], hp=int(hp), wp=int(wp),
-        pad=int(pad),
+        stacked=stacked, padded3d=p[:hp], padded4d=fold_map_s2d(p[:hp]),
+        hp=int(hp), wp=int(wp), pad=int(pad),
     )
 
 
