@@ -53,3 +53,123 @@ def test_sharded_matches_single_chip_weights():
         dst.round(4).view([("x", "f4"), ("y", "f4")]),
         src.round(4).view([("x", "f4"), ("y", "f4")]),
     ).all()
+
+
+def _mini_world_pf(mesh=None, n=64, seed=0, use_fast=True,
+                   pos_cov=0.0, theta_cov=0.0):
+    from top_down_renderer_tpu.config import FilterParams, MapParams
+    from top_down_renderer_tpu.filter.filter import ParticleFilter
+    from top_down_renderer_tpu.maps.map import TopDownMap, build_grid
+
+    c = 3
+    maps_bin = np.ones((c, 96, 96), np.float32)
+    maps_bin[1, 44:52, :] = 0.0
+    maps_bin[2, 30:38, 60:68] = 0.0
+    tdm = TopDownMap(
+        __import__("top_down_renderer_tpu.config", fromlist=["MapParams"])
+        .MapParams(map_path="", num_classes=c, resolution=1.0)
+    )
+    tdm.grid = build_grid(maps_bin, 1.0, 50.0)
+    tdm.class_maps_binary = maps_bin
+    tdm.have_map = True
+    tdm.sample_pts_polar(100, 25)
+    params = FilterParams(
+        fixed_scale=1.0, class_weights=[0.5] + [1.5] * (c - 1),
+        force_on_map=True, init_pos_px_x=40.0, init_pos_px_y=48.0,
+        init_pos_px_cov=6.0, init_pos_deg_theta=0.0, init_pos_deg_cov=5.0,
+        pos_cov=pos_cov, theta_cov=theta_cov,
+    )
+    return ParticleFilter(
+        n, tdm, params, seed=seed, chunk_size=n, mesh=mesh,
+        use_fast=use_fast,
+    )
+
+
+def test_particle_filter_mesh_conv_fast_path():
+    """The public ParticleFilter(mesh=...) API must dispatch the
+    row-sharded conv cost field and keep the filter invariants."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from top_down_renderer_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(2)
+    pf = _mini_world_pf(mesh=mesh, pos_cov=0.05, theta_cov=0.01)
+    rng = np.random.default_rng(1)
+    scan = jnp.asarray(rng.random((3, 100, 25)).astype(np.float32))
+    for _ in range(3):
+        pf.propagate(np.array([1.0, 0.0], np.float32), 0.0)
+        pf.update(scan, 1.0)
+    assert len(pf._sharded_fns) >= 1, "conv fast path never dispatched"
+    w = np.asarray(pf.state.particles.weight)
+    alive = np.asarray(pf.state.particles.alive)
+    assert abs(w.sum() - 1.0) < 1e-4
+    n_active = int(pf.state.n_active)
+    assert np.all(alive[:n_active]) and not np.any(alive[n_active:])
+    assert pf.mean_likelihood().shape == (4,)
+
+
+def test_mesh_fast_step_matches_single_chip_ml_state():
+    """With zero motion noise the sharded conv fast step and the
+    single-chip conv fast step score identical particle sets; the
+    pre-resample max-weight state (ml_state) must agree."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from top_down_renderer_tpu.parallel.sharding import make_mesh
+
+    pf_s = _mini_world_pf(mesh=None, seed=7)
+    mesh = make_mesh(2)
+    pf_m = _mini_world_pf(mesh=mesh, seed=7)
+    rng = np.random.default_rng(2)
+    scan = jnp.asarray(rng.random((3, 100, 25)).astype(np.float32))
+    for pf in (pf_s, pf_m):
+        pf.propagate(np.array([1.0, 0.0], np.float32), 0.0)
+        pf.update(scan, 1.0)
+    assert len(pf_m._sharded_fns) == 1
+    np.testing.assert_allclose(
+        pf_s.max_likelihood(), pf_m.max_likelihood(), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_node_mesh_devices_plumbing():
+    """RuntimeParams.mesh_devices builds the filter on a mesh through
+    the node constructor."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from top_down_renderer_tpu.config import (
+        ClassConfig, MapConfig, RuntimeParams,
+    )
+    from top_down_renderer_tpu.runtime.node import TopDownRenderNode
+
+    color_lut = np.full((256, 3), 255, np.uint8)
+    color_lut[0], color_lut[1] = (0, 100, 0), (255, 0, 0)
+    cc = ClassConfig(
+        color_lut=color_lut,
+        class_to_flattened=[0, 1],
+        flattened_to_class=[0, 1],
+        exclusivity=[True, True],
+        loc_weight=[0.5, 1.5],
+    )
+    import tempfile, os
+    from PIL import Image
+
+    maps = np.ones((2, 64, 64), np.float32)
+    maps[1, 28:36, :] = 0.0
+    maps[0] = 1.0 - (1.0 - maps[1])
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[...] = (0, 100, 0)
+    img[maps[1, ::-1] == 0] = (255, 0, 0)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "w.png")
+        Image.fromarray(img).save(p)
+        mc = MapConfig(raster_path=p, resolution=1.0)
+        rt = RuntimeParams(particle_count=32, mesh_devices=2,
+                           theta_bins=100, range_bins=25)
+        node = TopDownRenderNode(cc, mc, rt)
+    assert node.filter.mesh is not None
+    pts = np.zeros((256, 4), np.float32)
+    pts[:64, 0] = np.linspace(1, 8, 64)
+    pts[:64, 3] = 1
+    node.pc_callback(0.0, pts)
+    assert node.filter.state.step is not None
+    assert int(node.filter.state.step) == 1

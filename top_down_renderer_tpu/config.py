@@ -231,6 +231,10 @@ class RuntimeParams:
     # background thread, particle_filter.cpp:245-250; at ~10 Hz scans the
     # reference recomputes roughly every 10th update)
     gmm_every: int = 10
+    # multi-chip: shard the particle axis over the first N devices
+    # (parallel/sharding.py; 0 = single-chip).  The reference's analog
+    # is its TBB thread pool (particle_filter.cpp:104-105)
+    mesh_devices: int = 0
 
 
 def ang_res(theta_bins: int = 100) -> float:

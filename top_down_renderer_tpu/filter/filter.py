@@ -325,9 +325,9 @@ def make_update_step_fast(
         if mode == "tracked":
             if path == "conv":
                 num, den, kf = conv_scorer(
-                    maps.padded3d, maps.pad, stencil, scan,
-                    class_weights, p.pose_px(), p.theta, f, p.alive,
-                    s0,
+                    maps.padded3d, maps.padded4d, maps.pad, stencil,
+                    scan, class_weights, p.pose_px(), p.theta, f,
+                    p.alive, s0,
                 )
             else:
                 num, den, kf = ps.score_tracked_fast_mo(
@@ -339,8 +339,8 @@ def make_update_step_fast(
             return cost, p.theta
         if path == "conv":
             nums, dens, kf = conv_scorer(
-                maps.padded3d, maps.pad, stencil, scan, class_weights,
-                p.pose_px(), p.theta, f, p.alive,
+                maps.padded3d, maps.padded4d, maps.pad, stencil, scan,
+                class_weights, p.pose_px(), p.theta, f, p.alive,
             )
         else:
             nums, dens, kf = ps.score_init_fast_mo(
@@ -424,7 +424,13 @@ def make_update_step(
 
 class ParticleFilter:
     """Host-facing wrapper with the reference's ParticleFilter API
-    (particle_filter.h:24-41)."""
+    (particle_filter.h:24-41).
+
+    mesh: a 1-D jax.sharding.Mesh scales the filter over multiple chips
+    (particle axis sharded; conv cost-field rows sharded - see
+    parallel/sharding.py).  In mesh mode propagate() is deferred into
+    the fused sharded step that the next update() runs (queries between
+    propagate and update see the pre-propagate particles)."""
 
     def __init__(
         self,
@@ -436,10 +442,16 @@ class ParticleFilter:
         gmm_every: int = 1,
         chunk_size: int = 2048,
         use_fast: str | bool = "auto",
+        mesh=None,
     ):
         # pad N to a chunk multiple (static-shape requirement)
         chunk_size = min(chunk_size, n_max)
         n_max = ((n_max + chunk_size - 1) // chunk_size) * chunk_size
+        self.mesh = mesh
+        if mesh is not None:
+            # also a mesh-size multiple so the particle axis shards evenly
+            n_dev = int(mesh.devices.size)
+            n_max = ((n_max + n_dev - 1) // n_dev) * n_dev
         self.n_max = n_max
         self.map = tdmap
         self.params = params
@@ -452,9 +464,17 @@ class ParticleFilter:
         self._last_map_center = np.zeros(2, dtype=np.int64)
         # Pallas fast-path machinery (see filter/pallas_score.py)
         if use_fast == "auto":
-            use_fast = jax.default_backend() not in ("cpu",)
+            # the conv fast path is pure XLA, so mesh mode keeps fast
+            # dispatch on any backend (crop/mip tuples fall back to the
+            # sharded exact step in update())
+            use_fast = (
+                mesh is not None
+                or jax.default_backend() not in ("cpu",)
+            )
         self.use_fast = bool(use_fast)
         self._fast_fns = {}
+        self._sharded_fns = {}
+        self._pending_motion = None
         self._maps_cache = {}
         self._map_version = 0
         self._all_have_init = False
@@ -506,6 +526,16 @@ class ParticleFilter:
         )
         frozen = params.fixed_scale >= 0
         key = jax.random.PRNGKey(self.seed)
+        # seed smask from the actual initial thetas (same derivation as
+        # update_tail) so a theta prior narrows the very first tracked
+        # step's shift window - all-ones would force a full-window conv
+        # kernel variant that is immediately abandoned
+        shifts0 = rotation_shift(parts.theta, self.theta_bins)
+        smask0 = (
+            jnp.zeros(self.theta_bins, bool)
+            .at[jnp.where(parts.alive, shifts0, self.theta_bins)]
+            .max(True, mode="drop")
+        )
         self.state = FilterState(
             particles=parts,
             n_active=jnp.asarray(n_active, dtype=jnp.int32),
@@ -518,17 +548,33 @@ class ParticleFilter:
             key=key,
             step=jnp.asarray(0, dtype=jnp.int32),
             bbox=pose_bbox(parts),
-            smask=jnp.ones(self.theta_bins, bool),
+            smask=smask0,
         )
-        self._update_fn = make_update_step(
-            params,
-            g.num_classes,
-            self.map.resolution,
-            self.theta_bins,
-            self.n_max,
-            gmm_every=self.gmm_every,
-            chunk_size=self.chunk_size,
-        )
+        if self.mesh is not None:
+            from top_down_renderer_tpu.parallel.sharding import (
+                make_sharded_step,
+            )
+
+            self._update_fn = make_sharded_step(
+                self.mesh,
+                params,
+                num_classes=g.num_classes,
+                map_resolution=self.map.resolution,
+                theta_bins=self.theta_bins,
+                n_max=self.n_max,
+                gmm_every=self.gmm_every,
+                chunk_size=self.chunk_size,
+            )
+        else:
+            self._update_fn = make_update_step(
+                params,
+                g.num_classes,
+                self.map.resolution,
+                self.theta_bins,
+                self.n_max,
+                gmm_every=self.gmm_every,
+                chunk_size=self.chunk_size,
+            )
         # initial GMM (particle_filter.cpp:81)
         key, k_gmm = jax.random.split(key)
         self.state = self.state.replace(
@@ -537,6 +583,12 @@ class ParticleFilter:
                 parts, self.state.n_active, jnp.asarray(1), k_gmm
             ),
         )
+        if self.mesh is not None:
+            from top_down_renderer_tpu.parallel.sharding import (
+                shard_filter_state,
+            )
+
+            self.state = shard_filter_state(self.state, self.mesh)
 
     # -- step ----------------------------------------------------------
     def propagate(self, trans, omega) -> None:
@@ -545,6 +597,13 @@ class ParticleFilter:
         self._last_omega = float(omega)
         t = np.asarray(trans, dtype=np.float64).reshape(-1)
         self._last_dist_m = float(np.hypot(t[0], t[1]))
+        if self.mesh is not None:
+            # deferred into the fused sharded step at the next update()
+            self._pending_motion = (
+                np.asarray(trans, np.float32).reshape(2),
+                float(omega),
+            )
+            return
         key, sub = jax.random.split(self.state.key)
         parts = particles_mod.propagate(
             self.state.particles,
@@ -791,6 +850,79 @@ class ParticleFilter:
                     mip,
                 )
 
+    def _get_sharded_fast_fn(
+        self, mode: str, mo: int, region: int, window_w: int
+    ):
+        pm = self._get_padded_maps()
+        key = (mode, mo, region, window_w, self._map_version)
+        if key not in self._sharded_fns:
+            from top_down_renderer_tpu.parallel.sharding import (
+                make_sharded_step_fast,
+            )
+
+            self._sharded_fns[key] = make_sharded_step_fast(
+                self.mesh,
+                self.params,
+                num_classes=self.map.grid.num_classes,
+                map_resolution=self.map.resolution,
+                theta_bins=self.theta_bins,
+                n_max=self.n_max,
+                mode=mode,
+                mo=mo,
+                region=region,
+                window_w=window_w,
+                map_pad=pm.pad,
+                map_hp=pm.hp,
+                map_wp=pm.wp,
+                gmm_every=self.gmm_every,
+            )
+        return self._sharded_fns[key]
+
+    def _update_sharded(self, scan, res_j, map_size_scaled, stencil):
+        """Mesh-mode step: fused propagate + update on the sharded state.
+        Conv-eligible dispatches run the row-sharded cost field; crop/mip
+        tuples (Pallas is single-chip) and everything else fall back to
+        the sharded exact-gather step."""
+        from top_down_renderer_tpu.filter import conv_score as cs
+
+        if self._pending_motion is not None:
+            trans, omega = self._pending_motion
+            self._pending_motion = None
+        else:
+            trans, omega = np.zeros(2, np.float32), 0.0
+        trans_j = jnp.asarray(trans, jnp.float32)
+        omega_j = jnp.asarray(omega, jnp.float32)
+        fast = self._fast_mode(float(res_j))
+        if fast is not None and fast[3] == "conv":
+            mode, mo, _scale, _path, region, s0, ww, _mip = fast
+            s_out = (
+                2 * ww + 1 if mode == "tracked"
+                else 2 * self.params.num_rot_search + 1
+            )
+            dr, dc = cs.conv_dims(mo)
+            k4_bytes = (
+                16 * s_out * cs.s2d_extent(dr) * cs.s2d_extent(dc)
+                * 128 * 2
+            )
+            if k4_bytes <= cs.K4_MAX_BYTES:
+                fn = self._get_sharded_fast_fn(mode, mo, region, ww)
+                self.state = fn(
+                    self.state,
+                    self._get_padded_maps().padded4d,
+                    map_size_scaled,
+                    stencil,
+                    scan,
+                    res_j,
+                    trans_j,
+                    omega_j,
+                    jnp.asarray(s0, jnp.int32),
+                )
+                return
+        self.state = self._update_fn(
+            self.state, self.map.grid.dist, map_size_scaled, stencil,
+            scan, res_j, trans_j, omega_j,
+        )
+
     def update(self, scan, res) -> None:
         """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
         if self.state is None or int(self.state.n_active) == 0:
@@ -803,6 +935,10 @@ class ParticleFilter:
         scan = jnp.asarray(scan, dtype=jnp.float32)
         res_j = jnp.asarray(res, dtype=jnp.float32)
         stencil = jnp.asarray(self.map.stencil)
+        if self.mesh is not None:
+            self._update_sharded(scan, res_j, map_size_scaled, stencil)
+            self._all_have_init = True
+            return
         fast = self._fast_mode(float(res))
         if fast is not None:
             mode, mo, scale_h, path, region, s0, ww, mip = fast

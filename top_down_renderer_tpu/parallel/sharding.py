@@ -6,6 +6,10 @@ TBB-backed per CMakeLists.txt:160).  The TPU-native equivalent: particles
 are a sharded array axis over a 1-D device mesh ('data').  Per step:
 
   propagate / score            - embarrassingly parallel, zero comms
+  conv cost field (fast path)  - field ROWS sharded: each device convs
+                                 its slice of the region, one all_gather
+                                 of the small f32 field (~2 MB), then
+                                 per-particle reads are local
   weight statistics            - scalar psums over 'data'
   systematic resampling        - one all_gather of the compact SoA state
                                  (8 floats/particle; ~3 MB at 100k), then
@@ -15,6 +19,7 @@ are a sharded array axis over a 1-D device mesh ('data').  Per step:
 
 Implemented with shard_map + explicit collectives so the comm pattern is
 exactly what's written - no GSPMD guessing around the chunked gather.
+Reached through the public API via ParticleFilter(mesh=...).
 """
 
 from __future__ import annotations
@@ -38,9 +43,15 @@ from top_down_renderer_tpu.filter import gmm as gmm_mod
 from top_down_renderer_tpu.filter.filter import (
     FLT_MAX,
     compute_weights,
+    pose_bbox,
+    select_init_cost,
+    weight_from_cost,
 )
 from top_down_renderer_tpu.filter.particles import propagate
-from top_down_renderer_tpu.filter.scoring import score_all_rotations
+from top_down_renderer_tpu.filter.scoring import (
+    rotation_shift,
+    score_all_rotations,
+)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -87,6 +98,156 @@ def shard_filter_state(state: FilterState, mesh: Mesh, axis: str = "data"):
     )
 
 
+def _pad_class_weights(params: FilterParams, num_classes: int):
+    cw = np.asarray(params.class_weights, dtype=np.float32)
+    if cw.size < num_classes:
+        cw = np.concatenate(
+            [cw, np.ones(num_classes - cw.size, np.float32)]
+        )
+    return jnp.asarray(cw[:num_classes])
+
+
+def _sharded_tail(
+    state: FilterState,
+    p: Particles,
+    w_raw: jnp.ndarray,
+    key: jnp.ndarray,
+    k_rs: jnp.ndarray,
+    k_gmm: jnp.ndarray,
+    axis: str,
+    n_max: int,
+    n_local: int,
+    k_max: int,
+    gmm_every: int,
+    theta_bins: int,
+) -> FilterState:
+    """Post-scoring pipeline with explicit collectives: psum'd weight
+    statistics, one all_gather resample, redundant GMM, pmin/pmax bbox,
+    psum smask.  Matches filter.update_tail semantics
+    (particle_filter.cpp:107-187)."""
+    my = jax.lax.axis_index(axis)
+    psum = lambda x: jax.lax.psum(x, axis)
+    isnan = jnp.isnan(w_raw)
+    valid = p.alive & ~isnan
+    total = psum(jnp.sum(jnp.where(valid, w_raw, 0.0)))
+    num_valid = psum(jnp.sum(valid.astype(jnp.float32)))
+    mean = total / jnp.maximum(num_valid, 1.0)
+    under = valid & (w_raw < mean)
+    num_under = psum(jnp.sum(under.astype(jnp.float32)))
+    bot_var = psum(
+        jnp.sum(jnp.where(under, (w_raw - mean) ** 2, 0.0))
+    ) / jnp.maximum(num_under, 1.0)
+    bottom = jnp.sqrt(bot_var)
+    degenerate = (total == 0) | (num_under < 1)
+    w = jnp.where(p.alive & isnan, mean - bottom, w_raw)
+    w = jnp.where(degenerate, 1.0, w)
+    w = jnp.where(p.alive, w, 0.0)
+    w = w / psum(jnp.sum(w))
+    d = jnp.minimum(p.last_dist * 5.0, 1.0)
+    na = jnp.maximum(state.n_active.astype(jnp.float32), 1.0)
+    w = jnp.where(p.alive, d * w + (1.0 - d) / na, 0.0)
+    w = w / psum(jnp.sum(w))
+
+    # --- gather global compact state for resampling + GMM: the 10
+    #     per-particle fields ride ONE all_gather (40 B/particle) ---
+    from top_down_renderer_tpu.filter.resample import (
+        _systematic_indices,
+        pack_fields,
+        unpack_fields,
+    )
+
+    packed_local = jnp.concatenate(
+        [
+            pack_fields(p),
+            w[:, None],
+            p.alive.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (n_local, 10)
+    g10 = jax.lax.all_gather(packed_local, axis, tiled=True)
+    w_g = g10[:, 8]
+
+    # max-weight particle state captured pre-resample (replicated;
+    # matches the reference's surviving pointer,
+    # particle_filter.cpp:144-149)
+    g = unpack_fields(g10[:, :8], w_g, g10[:, 9] > 0.5)
+    ml_state = g.ml_state()[jnp.argmax(w_g)]
+
+    # adaptive count + GMM (redundant per shard, deterministic)
+    n_new = gmm_mod.adaptive_particle_count(
+        state.gmm, state.n_active, n_max
+    )
+
+    # --- systematic resample: this shard fills slots
+    #     [my*n_local, (my+1)*n_local) ---
+    shift = jax.random.uniform(k_rs)  # same key on all shards
+    i = my * n_local + jnp.arange(n_local, dtype=jnp.int32)
+    j_all = _systematic_indices(w_g, n_new, state.n_active, shift)
+    j = jax.lax.dynamic_slice(j_all, (my * n_local,), (n_local,))
+    alive = i < n_new
+    new_p = unpack_fields(
+        jnp.take(g10[:, :8], j, axis=0),
+        jnp.where(alive, 1.0 / jnp.maximum(n_new, 1), 0.0).astype(
+            jnp.float32
+        ),
+        alive,
+    )
+
+    def do_gmm(_):
+        # GMM over the POST-resample set (matches update_tail): the
+        # full resampled state is reconstructed from the replicated
+        # gather via j_all - no extra collective - so slots beyond
+        # the old n_active never leak stale resample leftovers into
+        # the strided sampler.
+        full_alive = jnp.arange(n_max) < n_new
+        full_new = unpack_fields(
+            jnp.take(g10[:, :8], j_all, axis=0),
+            jnp.where(
+                full_alive, 1.0 / jnp.maximum(n_new, 1), 0.0
+            ).astype(jnp.float32),
+            full_alive,
+        )
+        return gmm_mod.compute_gmm(
+            full_new,
+            n_new,
+            state.gmm.k,
+            k_gmm,
+            k_max=k_max,
+        )
+
+    new_gmm = jax.lax.cond(
+        state.step % gmm_every == 0,
+        do_gmm,
+        lambda _: state.gmm,
+        operand=None,
+    )
+
+    local_bb = pose_bbox(new_p)
+    shifts_ = rotation_shift(new_p.theta, theta_bins)
+    smask_local = (
+        jnp.zeros(theta_bins, bool)
+        .at[jnp.where(new_p.alive, shifts_, theta_bins)]
+        .max(True, mode="drop")
+    )
+    smask = jax.lax.psum(smask_local.astype(jnp.int32), axis) > 0
+    bbox = jnp.concatenate(
+        [
+            jax.lax.pmin(local_bb[:2], axis),
+            jax.lax.pmax(local_bb[2:], axis),
+        ]
+    )
+    return state.replace(
+        particles=new_p,
+        n_active=n_new,
+        ml_state=ml_state,
+        gmm=new_gmm,
+        key=key,
+        step=state.step + 1,
+        bbox=bbox,
+        smask=smask,
+    )
+
+
 def make_sharded_step(
     mesh: Mesh,
     params: FilterParams,
@@ -99,19 +260,14 @@ def make_sharded_step(
     chunk_size: int = 2048,
     axis: str = "data",
 ):
-    """Build the jitted multi-chip step: propagate + update in one compiled
-    program.  n_max must divide evenly by the mesh size."""
+    """Build the jitted multi-chip step (exact-gather scoring): propagate
+    + update in one compiled program.  n_max must divide evenly by the
+    mesh size."""
     n_dev = mesh.devices.size
     assert n_max % n_dev == 0, "n_max must be divisible by mesh size"
     n_local = n_max // n_dev
     local_chunk = math.gcd(n_local, chunk_size)
-
-    cw = np.asarray(params.class_weights, dtype=np.float32)
-    if cw.size < num_classes:
-        cw = np.concatenate(
-            [cw, np.ones(num_classes - cw.size, np.float32)]
-        )
-    class_weights = jnp.asarray(cw[:num_classes])
+    class_weights = _pad_class_weights(params, num_classes)
 
     def step_fn(
         state: FilterState,
@@ -154,137 +310,9 @@ def make_sharded_step(
             costs_all, p, params, map_size_scaled, theta_bins
         )
         p = p.replace(theta=new_theta, have_init=have_init)
-
-        # --- weight post-processing with global (psum) reductions ---
-        psum = lambda x: jax.lax.psum(x, axis)
-        isnan = jnp.isnan(w_raw)
-        valid = p.alive & ~isnan
-        total = psum(jnp.sum(jnp.where(valid, w_raw, 0.0)))
-        num_valid = psum(jnp.sum(valid.astype(jnp.float32)))
-        mean = total / jnp.maximum(num_valid, 1.0)
-        under = valid & (w_raw < mean)
-        num_under = psum(jnp.sum(under.astype(jnp.float32)))
-        bot_var = psum(
-            jnp.sum(jnp.where(under, (w_raw - mean) ** 2, 0.0))
-        ) / jnp.maximum(num_under, 1.0)
-        bottom = jnp.sqrt(bot_var)
-        degenerate = (total == 0) | (num_under < 1)
-        w = jnp.where(p.alive & isnan, mean - bottom, w_raw)
-        w = jnp.where(degenerate, 1.0, w)
-        w = jnp.where(p.alive, w, 0.0)
-        w = w / psum(jnp.sum(w))
-        d = jnp.minimum(p.last_dist * 5.0, 1.0)
-        na = jnp.maximum(state.n_active.astype(jnp.float32), 1.0)
-        w = jnp.where(p.alive, d * w + (1.0 - d) / na, 0.0)
-        w = w / psum(jnp.sum(w))
-
-        # --- gather global compact state for resampling + GMM: the 10
-        #     per-particle fields ride ONE all_gather (40 B/particle) ---
-        from top_down_renderer_tpu.filter.resample import (
-            pack_fields,
-            unpack_fields,
-        )
-
-        packed_local = jnp.concatenate(
-            [
-                pack_fields(p),
-                w[:, None],
-                p.alive.astype(jnp.float32)[:, None],
-            ],
-            axis=1,
-        )  # (n_local, 10)
-        g10 = jax.lax.all_gather(packed_local, axis, tiled=True)
-        w_g = g10[:, 8]
-        g = unpack_fields(g10[:, :8], w_g, g10[:, 9] > 0.5)
-
-        # max-weight particle state captured pre-resample (replicated;
-        # matches the reference's surviving pointer,
-        # particle_filter.cpp:144-149)
-        ml_state = g.ml_state()[jnp.argmax(w_g)]
-
-        # adaptive count + GMM (redundant per shard, deterministic)
-        n_new = gmm_mod.adaptive_particle_count(
-            state.gmm, state.n_active, n_max
-        )
-
-        # --- systematic resample: this shard fills slots
-        #     [my*n_local, (my+1)*n_local) ---
-        from top_down_renderer_tpu.filter.resample import (
-            _systematic_indices,
-        )
-
-        shift = jax.random.uniform(k_rs)  # same key on all shards
-        i = my * n_local + jnp.arange(n_local, dtype=jnp.int32)
-        j_all = _systematic_indices(
-            w_g, n_new, state.n_active, shift
-        )
-        j = jax.lax.dynamic_slice(j_all, (my * n_local,), (n_local,))
-        alive = i < n_new
-        new_p = unpack_fields(
-            jnp.take(g10[:, :8], j, axis=0),
-            jnp.where(alive, 1.0 / jnp.maximum(n_new, 1), 0.0).astype(
-                jnp.float32
-            ),
-            alive,
-        )
-
-        def do_gmm(_):
-            # GMM over the POST-resample set (matches update_tail): the
-            # full resampled state is reconstructed from the replicated
-            # gather via j_all - no extra collective - so slots beyond
-            # the old n_active never leak stale resample leftovers into
-            # the strided sampler.
-            full_alive = jnp.arange(n_max) < n_new
-            full_new = unpack_fields(
-                jnp.take(g10[:, :8], j_all, axis=0),
-                jnp.where(
-                    full_alive, 1.0 / jnp.maximum(n_new, 1), 0.0
-                ).astype(jnp.float32),
-                full_alive,
-            )
-            return gmm_mod.compute_gmm(
-                full_new,
-                n_new,
-                state.gmm.k,
-                k_gmm,
-                k_max=k_max,
-            )
-
-        new_gmm = jax.lax.cond(
-            state.step % gmm_every == 0,
-            do_gmm,
-            lambda _: state.gmm,
-            operand=None,
-        )
-
-        from top_down_renderer_tpu.filter.filter import pose_bbox
-        from top_down_renderer_tpu.filter.scoring import rotation_shift
-
-        local_bb = pose_bbox(new_p)
-        shifts_ = rotation_shift(new_p.theta, theta_bins)
-        smask_local = (
-            jnp.zeros(theta_bins, bool)
-            .at[jnp.where(new_p.alive, shifts_, theta_bins)]
-            .max(True, mode="drop")
-        )
-        smask = jax.lax.psum(
-            smask_local.astype(jnp.int32), axis
-        ) > 0
-        bbox = jnp.concatenate(
-            [
-                jax.lax.pmin(local_bb[:2], axis),
-                jax.lax.pmax(local_bb[2:], axis),
-            ]
-        )
-        return state.replace(
-            particles=new_p,
-            n_active=n_new,
-            ml_state=ml_state,
-            gmm=new_gmm,
-            key=key,
-            step=state.step + 1,
-            bbox=bbox,
-            smask=smask,
+        return _sharded_tail(
+            state, p, w_raw, key, k_rs, k_gmm, axis, n_max, n_local,
+            k_max, gmm_every, theta_bins,
         )
 
     state_spec = _state_spec(axis)
@@ -297,6 +325,175 @@ def make_sharded_step(
             P(),
             P(),  # stencil
             P(),  # scan
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_step_fast(
+    mesh: Mesh,
+    params: FilterParams,
+    num_classes: int,
+    map_resolution: float,
+    theta_bins: int,
+    n_max: int,
+    mode: str,  # "tracked" | "init"
+    mo: int = 24,
+    region: int = 128,
+    window_w: int = 100,
+    map_pad: int = 64,
+    map_hp: int = 0,
+    map_wp: int = 0,
+    k_max: int = 8,
+    gmm_every: int = 1,
+    axis: str = "data",
+):
+    """Multi-chip conv cost-field step (the converged fast path): field
+    ROWS are sharded over the mesh - each device convs its slice of the
+    folded (space-to-depth) region and one all_gather assembles the
+    small f32 field - so the dominant MXU work scales 1/n_dev.  The
+    particle axis stays sharded end-to-end (propagate, field reads,
+    weights, resample collectives as in make_sharded_step).
+
+    Requires a uniform particle scale and the folded-kernel gate
+    (conv_score.K4_MAX_BYTES); ParticleFilter's mesh dispatch enforces
+    both and falls back to the exact sharded step otherwise."""
+    from top_down_renderer_tpu.filter import conv_score as cs
+
+    n_dev = mesh.devices.size
+    assert n_max % n_dev == 0, "n_max must be divisible by mesh size"
+    assert n_dev <= 16, "fold_map_s2d margin sized for <= 16 devices"
+    n_local = n_max // n_dev
+    class_weights = _pad_class_weights(params, num_classes)
+    num_rot = params.num_rot_search
+    s_out = 2 * window_w + 1 if mode == "tracked" else 2 * num_rot + 1
+    dr, dc = cs.conv_dims(mo)
+    f4 = cs.F_S2D
+    dye, dxe = cs.s2d_extent(dr), cs.s2d_extent(dc)
+    nyb = region // f4 + 1
+    nxb = region // f4 + 1
+    nybl = -(-nyb // n_dev)  # field rows per device
+
+    def step_fn(
+        state: FilterState,
+        padded4d: jnp.ndarray,  # PaddedMaps.padded4d, replicated
+        map_size_scaled: jnp.ndarray,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+        trans: jnp.ndarray,
+        omega: jnp.ndarray,
+        s0: jnp.ndarray,
+    ) -> FilterState:
+        my = jax.lax.axis_index(axis)
+        p = state.particles
+        key, k_prop, k_rs, k_gmm = jax.random.split(state.key, 4)
+        p = propagate(
+            p,
+            jax.random.fold_in(k_prop, my),
+            trans,
+            omega,
+            params,
+            state.scale_frozen,
+        )
+        th, r, _ = stencil.shape
+        f = p.scale[0] * res  # uniform by contract
+        kernel = cs.build_conv_kernel(
+            scan, class_weights, stencil, f, mo, mode, num_rot,
+            window_w, s0,
+        )
+        k4 = cs.fold_kernel_s2d(kernel)
+
+        center_px = p.pose_px()
+        cy = jnp.round(center_px[:, 1] / map_resolution).astype(
+            jnp.int32
+        ) + map_pad
+        cx = jnp.round(center_px[:, 0] / map_resolution).astype(
+            jnp.int32
+        ) + map_pad
+        big = jnp.int32(1 << 30)
+        oy = jnp.clip(
+            jax.lax.pmin(jnp.min(jnp.where(p.alive, cy, big)), axis),
+            dr // 2,
+            map_hp - (region + dr - 1) + dr // 2,
+        )
+        ox = jnp.clip(
+            jax.lax.pmin(jnp.min(jnp.where(p.alive, cx, big)), axis),
+            dc // 2,
+            map_wp - (region + dc - 1) + dc // 2,
+        )
+        y0 = oy - dr // 2
+        x0 = ox - dc // 2
+        ys4, roy = y0 // f4, y0 % f4
+        xs4, rox = x0 // f4, x0 % f4
+        # this device's slice of the folded field rows
+        block = jax.lax.dynamic_slice(
+            padded4d,
+            (ys4 + my * nybl, xs4, 0),
+            (nybl + dye - 1, nxb + dxe - 1, f4 * f4 * cs.C_PAD),
+        )
+        out_loc = jax.lax.conv_general_dilated(
+            block[None],
+            k4,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "OHWI", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )[0]  # (nybl, nxb, 16*s_out)
+        out4 = jax.lax.all_gather(out_loc, axis, tiled=True)
+        flat = out4.reshape(-1)
+
+        iy = jnp.clip(cy - oy, 0, region - 1)
+        ix = jnp.clip(cx - ox, 0, region - 1)
+        jy = iy + roy
+        jx = ix + rox
+        base = (
+            ((jy // f4) * nxb + jx // f4) * 16
+            + (jy % f4) * f4
+            + jx % f4
+        ) * s_out
+        if mode == "tracked":
+            s = rotation_shift(p.theta, th)
+            local = jnp.clip((s - s0) % th, 0, window_w - 1)
+            num = flat[base + local]
+            den = flat[base + window_w + local]
+            kf = flat[base + 2 * window_w] / (th * r)
+            cost = num / den
+            cost = jnp.where(kf < 0.5, jnp.nan, cost)
+            new_theta = p.theta
+        else:
+            idx = base[:, None] + jnp.arange(num_rot)[None, :]
+            nums = flat[idx]
+            dens = flat[idx + num_rot]
+            kf = flat[base + 2 * num_rot] / (th * r)
+            costs = nums / dens
+            costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
+            cost, new_theta = select_init_cost(costs, num_rot)
+        p = p.replace(
+            theta=new_theta, have_init=jnp.ones_like(p.have_init)
+        )
+        w_raw = weight_from_cost(cost, p, params, map_size_scaled)
+        return _sharded_tail(
+            state, p, w_raw, key, k_rs, k_gmm, axis, n_max, n_local,
+            k_max, gmm_every, theta_bins,
+        )
+
+    state_spec = _state_spec(axis)
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(
+            state_spec,
+            P(),  # padded4d replicated
+            P(),
+            P(),
+            P(),
+            P(),
             P(),
             P(),
             P(),

@@ -184,6 +184,11 @@ class TopDownRenderNode:
         self.map.sample_pts_polar(
             self.rt.theta_bins, self.rt.range_bins
         )
+        mesh = None
+        if self.rt.mesh_devices > 0:
+            from top_down_renderer_tpu.parallel.sharding import make_mesh
+
+            mesh = make_mesh(self.rt.mesh_devices)
         self.filter = ParticleFilter(
             self.rt.particle_count,
             self.map,
@@ -191,6 +196,7 @@ class TopDownRenderNode:
             seed=seed,
             theta_bins=self.rt.theta_bins,
             gmm_every=self.rt.gmm_every,
+            mesh=mesh,
         )
         self.timing: Dict[str, float] = {}
         if self.background_img is not None:
