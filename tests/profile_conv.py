@@ -54,7 +54,7 @@ timeit("cost_field_s2d (incl fold)", cf, maps.padded4d, kernel)
 convonly = jax.jit(lambda m4, k4_: jax.lax.conv_general_dilated(
     jax.lax.dynamic_slice(m4, (100, 100, 0), (33 + 13, 33 + 13, 128))[None],
     k4_, (1, 1), "VALID",
-    dimension_numbers=("NHWC", "OHWI", "NHWC"),
+    dimension_numbers=("NHWC", "HWIO", "NHWC"),
     preferred_element_type=jnp.float32))
 timeit("conv only (prefolded k4)", convonly, maps.padded4d, k4)
 

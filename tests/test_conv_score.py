@@ -127,7 +127,7 @@ def test_s2d_field_matches_direct():
     s_out = 9
     region = 64
     kernel = jnp.asarray(
-        rng.standard_normal((s_out, dr, dc, 8)), jnp.bfloat16
+        rng.standard_normal((dr, dc, 8, s_out)), jnp.bfloat16
     )
     packed = jnp.asarray(rng.random((200, 200, 8)), jnp.float32)
     maps = ps.build_padded_maps(packed)

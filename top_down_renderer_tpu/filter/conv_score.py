@@ -34,13 +34,9 @@ import numpy as np
 from top_down_renderer_tpu.filter.pallas_score import (
     C_PAD,
     PaddedMaps,
-    _build_base_t_from_pix,
+    _build_base_y_from_pix,
 )
-from top_down_renderer_tpu.filter.scoring import (
-    build_circulants,
-    rotation_shift,
-    search_shifts,
-)
+from top_down_renderer_tpu.filter.scoring import rotation_shift
 
 # output-region buckets (cost-field height/width in px)
 REGION_BUCKETS = (64, 128, 192, 256)
@@ -61,6 +57,71 @@ def pick_region(extent: int) -> int | None:
     return None
 
 
+def _windowed_cost_norm(scan, class_weights, s0, ww):
+    """Cost/norm circulant COLUMNS for the consecutive shift window
+    [s0, s0+ww) only: ww doubled-axis dynamic slices instead of
+    materializing the full Th-wide circulant and gathering ww of its
+    columns (build_circulants' 100 rolls + relayout dominated the
+    kernel build at ~2 ms)."""
+    c, th, r = scan.shape
+    wscan = scan * (0.01 * class_weights)[:, None, None]
+    # triple-tile the theta axis so start = s0 + j < 2*Th always leaves
+    # a full Th window
+    w3 = jnp.concatenate([wscan, wscan, wscan], axis=1)
+    ssum = jnp.sum(scan, axis=0)
+    s3 = jnp.concatenate([ssum, ssum, ssum], axis=0)
+    cost_slices, norm_slices = [], []
+    for j in range(ww):
+        start = s0 + j
+        cost_slices.append(
+            jax.lax.dynamic_slice(w3, (0, start, 0), (c, th, r))
+        )
+        norm_slices.append(
+            jax.lax.dynamic_slice(s3, (start, 0), (th, r))
+        )
+    cost_cols = (
+        jnp.stack(cost_slices, axis=2)
+        .transpose(1, 3, 0, 2)
+        .reshape(th * r * c, ww)
+    )
+    norm_cols = (
+        jnp.stack(norm_slices, axis=1)
+        .transpose(0, 2, 1)
+        .reshape(th * r, ww)
+    )
+    return cost_cols, norm_cols
+
+
+def _searched_cost_norm(scan, class_weights, num_rot):
+    """Cost/norm circulant columns at the num_rot STATIC search shifts
+    (state_particle.cpp:197)."""
+    c, th, r = scan.shape
+    wscan = scan * (0.01 * class_weights)[:, None, None]
+    ssum = jnp.sum(scan, axis=0)
+    # mimic search_shifts' f32 arithmetic bit-for-bit: at the half-way
+    # points (k * th/num_rot = .5) f64 rounding picks different bins
+    t = np.arange(num_rot, dtype=np.float32) * np.float32(
+        2.0 * np.pi / num_rot
+    )
+    ssh = (
+        np.round(t * th / np.float32(2.0 * np.pi)).astype(np.int64)
+        % th
+    )
+    cost_cols = (
+        jnp.stack([jnp.roll(wscan, -int(s), axis=1) for s in ssh],
+                  axis=2)
+        .transpose(1, 3, 0, 2)
+        .reshape(th * r * c, num_rot)
+    )
+    norm_cols = (
+        jnp.stack([jnp.roll(ssum, -int(s), axis=0) for s in ssh],
+                  axis=1)
+        .transpose(0, 2, 1)
+        .reshape(th * r, num_rot)
+    )
+    return cost_cols, norm_cols
+
+
 def build_conv_kernel(
     scan: jnp.ndarray,
     class_weights: jnp.ndarray,
@@ -72,7 +133,8 @@ def build_conv_kernel(
     window_w: int = 100,
     s0=0,
 ) -> jnp.ndarray:
-    """(S_out, dr, dc, 8) bf16 conv kernel (OHWI).
+    """(dr, dc, 8, S_out) bf16 conv kernel (HWIO: the layout the base
+    builder emits without an extra relayout).
 
     tracked: the kernel covers the circular shift window
       [s0, s0+window_w): S_out = 2*window_w+1 ->
@@ -83,26 +145,29 @@ def build_conv_kernel(
     """
     c, th, r = scan.shape
     dr, dc = conv_dims(mo)
-    cost_circ, norm_circ = build_circulants(scan, class_weights)
-    cost_circ = cost_circ.reshape(th * r * c, th)
     off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
     pix8 = ((off[:, 0] + dr // 2) * dc + (off[:, 1] + dc // 2)) * C_PAD
     k = dr * dc * C_PAD
     if mode == "tracked":
-        cols = (s0 + jnp.arange(window_w)) % th
-        base = _build_base_t_from_pix(
-            pix8, k, c, cost_circ[:, cols], norm_circ[:, cols],
-            2 * window_w + 1,
+        cost_cols, norm_cols = _windowed_cost_norm(
+            scan, class_weights, s0, window_w
+        )
+        y = _build_base_y_from_pix(
+            pix8, k, c, cost_cols, norm_cols, 2 * window_w + 1,
         )
     else:
-        ssh = search_shifts(th, num_rot)
-        base = _build_base_t_from_pix(
-            pix8, k, c, cost_circ[:, ssh], norm_circ[:, ssh],
-            2 * num_rot + 1,
+        cost_cols, norm_cols = _searched_cost_norm(
+            scan, class_weights, num_rot
         )
-    s_out = base.shape[0]
-    # OHWI layout: no transpose needed (the conv is told the layout)
-    return base.reshape(s_out, dr, dc, C_PAD)
+        y = _build_base_y_from_pix(
+            pix8, k, c, cost_cols, norm_cols, 2 * num_rot + 1,
+        )
+    s_out = y.shape[1]
+    return (
+        y.transpose(2, 0, 1)
+        .reshape(dr, dc, C_PAD, s_out)
+        .astype(jnp.bfloat16)
+    )
 
 
 # ---------------------------------------------------------------------
@@ -156,32 +221,33 @@ def fold_map_s2d(padded3d: jnp.ndarray) -> jnp.ndarray:
 
 
 def fold_kernel_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
-    """(S, dr, dc, 8) OHWI -> (16*S, DYe, DXe, 128) OHWI.
+    """(dr, dc, 8, S) HWIO -> (DYe, DXe, 128, 16*S) HWIO.
 
     Output channel (py*4 + px)*S + s scores centers at spatial phase
     (py, px); folded input channel order (qy, qx, c) matches
-    fold_map_s2d."""
-    s, dr, dc, c = kernel.shape
+    fold_map_s2d.  (HWIO keeps the relayout off the minor dims: ~25%
+    faster than the OHWI fold on v5e.)"""
+    dr, dc, c, s = kernel.shape
     f = F_S2D
     dye, dxe = s2d_extent(dr), s2d_extent(dc)
     kp = jnp.pad(
         kernel,
-        ((0, 0), (3, f * dye - dr), (3, f * dxe - dc), (0, 0)),
+        ((3, f * dye - dr), (3, f * dxe - dc), (0, 0), (0, 0)),
     )
     phases = []
     for py in range(f):
         for px in range(f):
             ks = jax.lax.slice(
                 kp,
-                (0, 3 - py, 3 - px, 0),
-                (s, 3 - py + f * dye, 3 - px + f * dxe, c),
+                (3 - py, 3 - px, 0, 0),
+                (3 - py + f * dye, 3 - px + f * dxe, c, s),
             )
             phases.append(
-                ks.reshape(s, dye, f, dxe, f, c)
-                .transpose(0, 1, 3, 2, 4, 5)
-                .reshape(s, dye, dxe, f * f * c)
+                ks.reshape(dye, f, dxe, f, c, s)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(dye, dxe, f * f * c, s)
             )
-    return jnp.concatenate(phases, axis=0)
+    return jnp.concatenate(phases, axis=3)
 
 
 @functools.partial(
@@ -218,7 +284,7 @@ def cost_field_s2d(
         k4,
         window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     return out[0], roy, rox
@@ -256,7 +322,7 @@ def cost_field(
         kernel,
         window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     return out[0]

@@ -41,6 +41,7 @@ from top_down_renderer_tpu.filter.scoring import (
     rotation_shift,
     score_all_rotations,
     search_shifts,
+    shift_mask,
 )
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -211,11 +212,10 @@ def update_tail(
         lambda _: state.gmm,
         operand=None,
     )
-    shifts = rotation_shift(new_particles.theta, theta_bins)
-    smask = (
-        jnp.zeros(theta_bins, bool)
-        .at[jnp.where(new_particles.alive, shifts, theta_bins)]
-        .max(True, mode="drop")
+    smask = shift_mask(
+        rotation_shift(new_particles.theta, theta_bins),
+        new_particles.alive,
+        theta_bins,
     )
     return state.replace(
         particles=new_particles,
@@ -530,11 +530,10 @@ class ParticleFilter:
         # update_tail) so a theta prior narrows the very first tracked
         # step's shift window - all-ones would force a full-window conv
         # kernel variant that is immediately abandoned
-        shifts0 = rotation_shift(parts.theta, self.theta_bins)
-        smask0 = (
-            jnp.zeros(self.theta_bins, bool)
-            .at[jnp.where(parts.alive, shifts0, self.theta_bins)]
-            .max(True, mode="drop")
+        smask0 = shift_mask(
+            rotation_shift(parts.theta, self.theta_bins),
+            parts.alive,
+            self.theta_bins,
         )
         self.state = FilterState(
             particles=parts,
@@ -639,20 +638,6 @@ class ParticleFilter:
             scale * res, range_bins, ps._MO_BUCKETS_CONV
         )
         mip = 1
-        if mo_crop is None and mo_conv is None:
-            # exploration regime (scale*res beyond every bucket): score
-            # against a 2^k-strided mip of the map; NN granularity
-            # degrades to 'mip' px - the coarse-to-fine tradeoff the
-            # reference pays in time instead (its theta-search sweep,
-            # state_particle.cpp:195-206, at coarse range scales)
-            for mip in (2, 4, 8, 16, 32):
-                mo_crop = ps.pick_crop_size(
-                    scale * res / mip, range_bins
-                )
-                if mo_crop is not None:
-                    break
-            else:
-                return None
         if self._all_have_init:
             mode = "tracked"
         else:
@@ -670,11 +655,7 @@ class ParticleFilter:
 
         # clustered cloud -> conv cost-field path (bbox kept on device)
         region = None
-        if (
-            mip == 1
-            and int(self.state.n_active) > 0
-            and mo_conv is not None
-        ):
+        if int(self.state.n_active) > 0 and mo_conv is not None:
             bb = np.asarray(self.state.bbox) / self.map.resolution
             extent = int(
                 np.ceil(max(bb[2] - bb[0], bb[3] - bb[1]))
@@ -690,11 +671,24 @@ class ParticleFilter:
         if region is not None:
             s0, ww = self._shift_window()
             return (mode, mo_conv, scale, "conv", region, s0, ww, 1)
-        if mo_crop is not None:
-            return (
-                mode, mo_crop, scale, "crop", 0, 0, self.theta_bins, mip
-            )
-        return None
+        if mo_crop is None:
+            # exploration regime (scale*res beyond every crop bucket, or
+            # a cloud too spread for any conv region): score against a
+            # 2^k-strided mip of the map; NN granularity degrades to
+            # 'mip' px - the coarse-to-fine tradeoff the reference pays
+            # in time instead (its theta-search sweep,
+            # state_particle.cpp:195-206, at coarse range scales)
+            for mip in (2, 4, 8, 16, 32):
+                mo_crop = ps.pick_crop_size(
+                    scale * res / mip, range_bins
+                )
+                if mo_crop is not None:
+                    break
+            else:
+                return None
+        return (
+            mode, mo_crop, scale, "crop", 0, 0, self.theta_bins, mip
+        )
 
     def _shift_window(self):
         """Smallest circular shift window covering the live shifts (from

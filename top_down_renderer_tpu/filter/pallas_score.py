@@ -131,7 +131,7 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
 
 
 
-def _build_base_t_from_pix(
+def _build_base_y_from_pix(
     pix8: jnp.ndarray,  # (TR,) K-row base index per stencil point
     kext: int,
     c: int,
@@ -139,21 +139,25 @@ def _build_base_t_from_pix(
     norm_cols: jnp.ndarray,  # (TR, n_norm)
     s_cols: int,
 ) -> jnp.ndarray:
-    """Build the TRANSPOSED base matrix (s_cols, kext) bf16.
+    """Build the base tensor y (C_PAD, s_cols, n_slots) f32.
 
-    TPU scatter is descriptor-bound (~75 ms for these shapes), so the
-    stencil->K-row selection is expressed as a dense one-hot MXU matmul:
-      base_T = circ2_T (s_cols, TR*8) @ onehot (TR*8, Kext)
-    with onehot[(i, ch), k] = (pix8[i] + ch == k), built chunk-by-chunk."""
+    TPU scatter collision-serializes (0.85 ms for these shapes even at
+    block granularity), so the stencil->K-row selection is a dense
+    one-hot MXU matmul - at CELL granularity: every stencil cell's 8
+    channels share one pixel slot (pix8 is always a multiple of C_PAD),
+    so the one-hot is (TR, Kext/8) instead of (TR*8, Kext) - 64x less
+    one-hot materialization than the row-granularity form (12 MB vs
+    800 MB at mo=24; 2.6 ms -> ~0.15 ms measured):
+      y[(ch, s), slot] = circ3_T ((C_PAD*s_cols), TR) @ onehot (TR, slots)
+      base_T[s, slot*C_PAD + ch] = y[(ch, s), slot]
+    """
     tr = pix8.shape[0]
     n_cost = cost_cols.shape[1]
     n_norm = norm_cols.shape[1]
-    rowvals = (
-        pix8[:, None]
-        + jax.lax.broadcasted_iota(jnp.int32, (tr, C_PAD), 1)
-    ).reshape(-1)  # (TR*8,)
+    n_slots = kext // C_PAD
+    pix_cell = pix8 // C_PAD
 
-    # circ2[(i, ch), col]: channels < c carry cost, channel c carries
+    # circ2[i, ch, col]: channels < c carry cost, channel c carries
     # norm + the kf count, channels > c are zero padding
     circ2 = jnp.zeros((tr, C_PAD, s_cols), jnp.float32)
     circ2 = circ2.at[:, :c, :n_cost].set(
@@ -161,22 +165,45 @@ def _build_base_t_from_pix(
     )
     circ2 = circ2.at[:, c, n_cost : n_cost + n_norm].set(norm_cols)
     circ2 = circ2.at[:, c, n_cost + n_norm].set(1.0)
-    circ2_t = circ2.reshape(tr * C_PAD, s_cols).T.astype(jnp.bfloat16)
+    lhs = (
+        circ2.transpose(1, 2, 0)
+        .reshape(C_PAD * s_cols, tr)
+        .astype(jnp.bfloat16)
+    )
 
-    n_chunks = 8
-    kc = -(-kext // (n_chunks * 128)) * 128
+    # chunk the one-hot to ~16 MB of bf16
+    n_chunks = max(1, -(-(tr * n_slots * 2) // (16 << 20)))
+    kc = -(-n_slots // (n_chunks * 128)) * 128
     parts = []
     for j in range(n_chunks):
-        kidx = j * kc + jax.lax.broadcasted_iota(
-            jnp.int32, (1, kc), 1
-        )
-        onehot = (rowvals[:, None] == kidx).astype(jnp.bfloat16)
+        kidx = j * kc + jax.lax.broadcasted_iota(jnp.int32, (1, kc), 1)
+        onehot = (pix_cell[:, None] == kidx).astype(jnp.bfloat16)
         parts.append(
-            jnp.dot(
-                circ2_t, onehot, preferred_element_type=jnp.float32
-            )
+            jnp.dot(lhs, onehot, preferred_element_type=jnp.float32)
         )
-    return jnp.concatenate(parts, axis=1)[:, :kext].astype(jnp.bfloat16)
+    y = jnp.concatenate(parts, axis=1)[:, :n_slots]
+    return y.reshape(C_PAD, s_cols, n_slots)
+
+
+def _build_base_t_from_pix(
+    pix8: jnp.ndarray,
+    kext: int,
+    c: int,
+    cost_cols: jnp.ndarray,
+    norm_cols: jnp.ndarray,
+    s_cols: int,
+) -> jnp.ndarray:
+    """(s_cols, kext) bf16 with K-row layout k = slot*C_PAD + ch (the
+    crop kernel's M layout)."""
+    y = _build_base_y_from_pix(
+        pix8, kext, c, cost_cols, norm_cols, s_cols
+    )
+    n_slots = kext // C_PAD
+    return (
+        y.transpose(1, 2, 0)
+        .reshape(s_cols, n_slots * C_PAD)
+        .astype(jnp.bfloat16)
+    )
 
 
 def _stencil_pix(stencil: jnp.ndarray, f, mo: int):

@@ -51,6 +51,7 @@ from top_down_renderer_tpu.filter.particles import propagate
 from top_down_renderer_tpu.filter.scoring import (
     rotation_shift,
     score_all_rotations,
+    shift_mask,
 )
 
 
@@ -223,11 +224,8 @@ def _sharded_tail(
     )
 
     local_bb = pose_bbox(new_p)
-    shifts_ = rotation_shift(new_p.theta, theta_bins)
-    smask_local = (
-        jnp.zeros(theta_bins, bool)
-        .at[jnp.where(new_p.alive, shifts_, theta_bins)]
-        .max(True, mode="drop")
+    smask_local = shift_mask(
+        rotation_shift(new_p.theta, theta_bins), new_p.alive, theta_bins
     )
     smask = jax.lax.psum(smask_local.astype(jnp.int32), axis) > 0
     bbox = jnp.concatenate(
@@ -442,7 +440,7 @@ def make_sharded_step_fast(
             k4,
             window_strides=(1, 1),
             padding="VALID",
-            dimension_numbers=("NHWC", "OHWI", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )[0]  # (nybl, nxb, 16*s_out)
         out4 = jax.lax.all_gather(out_loc, axis, tiled=True)
