@@ -76,19 +76,48 @@ def main():
     ap.add_argument("--particles", type=int, default=20000)
     ap.add_argument("--offsets", default="0,30,60,90,120")
     ap.add_argument("--skip-conv", action="store_true")
+    ap.add_argument("--max-scans", type=int, default=None,
+                    help="cap scans per run (smoke mode)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke mode)")
+    ap.add_argument("--no-prewarm", action="store_true",
+                    help="skip the throwaway cache-warming run")
+    ap.add_argument("--tag", default=None,
+                    help="result key suffix (e.g. 'smoke')")
     args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        # env var alone does not override the axon plugin (see CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     from top_down_renderer_tpu.io import (
         Bag,
         benchmark_conv,
         benchmark_loc,
+        replay,
     )
 
     bag = Bag.load(os.path.join(args.data, "city.npz"))
     make_node, meta = make_node_factory(args.data, args.particles)
 
+    if not args.no_prewarm and jax.default_backend() != "cpu":
+        # throwaway drive to fill the persistent compile cache: every
+        # regime transition (mip-crop -> conv, region/window shrinking)
+        # first-touches a jit variant that costs minutes on the remote
+        # AOT helper; one cold pass makes the measured runs warm
+        t0 = time.perf_counter()
+        print("[bench_loc] prewarm drive (cold compiles)...", flush=True)
+        replay(make_node(999), bag, max_scans=args.max_scans)
+        print(f"[bench_loc] prewarm done in "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+
     t0 = time.perf_counter()
-    loc = benchmark_loc(make_node, bag, runs=args.runs)
+    loc = benchmark_loc(
+        make_node, bag, runs=args.runs, max_scans=args.max_scans,
+        verbose=True,
+    )
     loc_s = time.perf_counter() - t0
     conv_times = [
         r["first_converged_stamp"] - r["start_stamp"]
@@ -101,6 +130,7 @@ def main():
         f"{meta['hw']}px map @ {meta['scale_px_m']} px/m)",
         "particles": args.particles,
         "runs": args.runs,
+        "device": str(jax.devices()[0]),
         "mean_error_m": round(loc["mean_error_m"], 3),
         "median_error_m": round(loc["median_error_m"], 3),
         "per_run_mean_error_m": [
@@ -117,7 +147,8 @@ def main():
         offsets = [float(x) for x in args.offsets.split(",")]
         t0 = time.perf_counter()
         conv = benchmark_conv(
-            make_node, bag, offsets=offsets, poses_after=120
+            make_node, bag, offsets=offsets, poses_after=120,
+            max_scans=args.max_scans, verbose=True,
         )
         out["benchmark_conv"] = {
             "offsets": offsets,
@@ -137,6 +168,8 @@ def main():
         print(json.dumps({"benchmark_conv": out["benchmark_conv"]}),
               flush=True)
 
+    if args.tag:
+        out = {f"{k}_{args.tag}": v for k, v in out.items()}
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "loc_results.json"
     )

@@ -36,10 +36,8 @@ def test_sharded_matches_single_chip_weights():
         mesh, params, num_classes=3, map_resolution=1.0,
         theta_bins=100, n_max=n, chunk_size=128,
     )
-    trans = jnp.asarray([0.0, 0.0], jnp.float32)
-    omega = jnp.asarray(0.0, jnp.float32)
-    out = step(sh_state, packed, map_size, stencil, scan, res, trans,
-               omega)
+    motion = jnp.zeros(5, jnp.float32)  # tx ty omega dist gate
+    out = step(sh_state, packed, map_size, stencil, scan, res, motion)
     # invariants: weights normalized over alive, alive prefix-contiguous
     w = np.asarray(out.particles.weight)
     alive = np.asarray(out.particles.alive)
@@ -128,6 +126,90 @@ def test_mesh_fast_step_matches_single_chip_ml_state():
     np.testing.assert_allclose(
         pf_s.max_likelihood(), pf_m.max_likelihood(), rtol=1e-4,
         atol=1e-5,
+    )
+
+
+def test_mesh_direct_conv_fast_path(monkeypatch):
+    """Above the folded-kernel byte gate the mesh dispatch must take the
+    row-sharded DIRECT conv field (use_s2d=False), not fall to the exact
+    gather - and must match the single-chip direct-conv step bit-for-bit
+    on the pre-resample max-weight state (zero motion noise)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from top_down_renderer_tpu.filter import conv_score as cs
+    from top_down_renderer_tpu.parallel.sharding import make_mesh
+
+    monkeypatch.setattr(cs, "K4_MAX_BYTES", 0)  # force the direct path
+    pf_s = _mini_world_pf(mesh=None, seed=7)
+    pf_m = _mini_world_pf(mesh=make_mesh(2), seed=7)
+    rng = np.random.default_rng(3)
+    scan = jnp.asarray(rng.random((3, 100, 25)).astype(np.float32))
+    for pf in (pf_s, pf_m):
+        pf.propagate(np.array([1.0, 0.0], np.float32), 0.0)
+        pf.update(scan, 1.0)
+    assert len(pf_m._sharded_fns) == 1, "direct fast path not dispatched"
+    key = next(iter(pf_m._sharded_fns))
+    assert key[4] is False, f"expected use_s2d=False key, got {key}"
+    np.testing.assert_allclose(
+        pf_s.max_likelihood(), pf_m.max_likelihood(), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_mesh_propagate_composes_multiple_calls():
+    """Two propagate() calls between updates must compose in mesh mode
+    (rotate the second body-frame translation by the first omega), not
+    overwrite - with zero noise the deferred fused motion must land the
+    particles exactly where per-call single-chip application does."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from top_down_renderer_tpu.parallel.sharding import make_mesh
+
+    pf_s = _mini_world_pf(mesh=None, seed=7)
+    pf_m = _mini_world_pf(mesh=make_mesh(2), seed=7)
+    rng = np.random.default_rng(4)
+    scan = jnp.asarray(rng.random((3, 100, 25)).astype(np.float32))
+    for pf in (pf_s, pf_m):
+        pf.propagate(np.array([1.0, 0.0], np.float32), np.pi / 2)
+        pf.propagate(np.array([2.0, 0.0], np.float32), 0.0)
+        pf.update(scan, 1.0)
+    np.testing.assert_allclose(
+        pf_s.max_likelihood(), pf_m.max_likelihood(), rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_mesh_update_without_propagate_keeps_scale():
+    """An update() with no pending propagate must not diffuse unfrozen
+    scales (single-chip skips propagate entirely; the fused mesh step
+    gates the dist->0 sigma floor to zero)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    import __graft_entry__ as ge
+    from top_down_renderer_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_step,
+        shard_filter_state,
+    )
+
+    n = 128 * 2
+    (state, packed, map_size, stencil, scan, res, params) = (
+        ge._synthetic_setup(n, h=64, w=64, seed=5)
+    )
+    state = state.replace(scale_frozen=jnp.asarray(False))
+    mesh = make_mesh(2)
+    sh_state = shard_filter_state(state, mesh)
+    step = make_sharded_step(
+        mesh, params, num_classes=3, map_resolution=1.0,
+        theta_bins=100, n_max=n, chunk_size=128,
+    )
+    motion = jnp.zeros(5, jnp.float32)  # no pending propagate: gate=0
+    out = step(sh_state, packed, map_size, stencil, scan, res, motion)
+    # resampled scales must all come from the (pre-update) scale set,
+    # which was uniform 2.0 - any diffusion would have perturbed them
+    alive = np.asarray(out.particles.alive)
+    np.testing.assert_allclose(
+        np.asarray(out.particles.scale)[alive], 2.0, rtol=0, atol=0
     )
 
 

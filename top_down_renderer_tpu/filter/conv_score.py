@@ -98,15 +98,14 @@ def _searched_cost_norm(scan, class_weights, num_rot):
     c, th, r = scan.shape
     wscan = scan * (0.01 * class_weights)[:, None, None]
     ssum = jnp.sum(scan, axis=0)
-    # mimic search_shifts' f32 arithmetic bit-for-bit: at the half-way
-    # points (k * th/num_rot = .5) f64 rounding picks different bins
-    t = np.arange(num_rot, dtype=np.float32) * np.float32(
-        2.0 * np.pi / num_rot
-    )
-    ssh = (
-        np.round(t * th / np.float32(2.0 * np.pi)).astype(np.int64)
-        % th
-    )
+    # the shifts come from the SAME search_shifts the exact/crop init
+    # paths use (host-fetched: its inputs are static so it constant-folds
+    # eagerly on the current backend) - a numpy re-derivation rounded the
+    # exact .5 ties the other way than XLA-TPU's reciprocal-multiply
+    # divide, scoring those candidates one theta bin off
+    from top_down_renderer_tpu.filter.scoring import search_shifts
+
+    ssh = np.asarray(search_shifts(th, num_rot))
     cost_cols = (
         jnp.stack([jnp.roll(wscan, -int(s), axis=1) for s in ssh],
                   axis=2)

@@ -373,6 +373,84 @@ def make_update_step_fast(
     return update
 
 
+def make_update_step_multiscale(
+    params: FilterParams,
+    grid_num_classes: int,
+    map_resolution: float,
+    theta_bins: int,
+    n_max: int,
+    mode: str,  # "tracked" | "init"
+    n_buckets: int,
+    bucket_mip_idx: Tuple[int, ...],
+    k_max: int = 8,
+    gmm_every: int = 1,
+    tail_fn=None,
+):
+    """Update step for the unknown-scale regime: K scale buckets through
+    ONE crop-kernel pass (filter/multiscale.py).  slot_vals (the bucket
+    scale values) are traced, so 2%-per-step scale diffusion
+    (state_particle.cpp:71-74) re-uses the compiled step; only the
+    bucket count and the bucket->mip assignment are static."""
+    from top_down_renderer_tpu.filter import multiscale as ms
+
+    class_weights = _pad_class_weights(params, grid_num_classes)
+    if tail_fn is None:
+        tail_fn = make_tail_fn(
+            params, n_max, k_max, gmm_every, theta_bins
+        )
+    if mode == "tracked":
+        scorer = ms.make_score_tracked_multi(
+            n_buckets, bucket_mip_idx, map_resolution
+        )
+    else:
+        scorer = ms.make_score_init_multi(
+            n_buckets, bucket_mip_idx, params.num_rot_search,
+            map_resolution,
+        )
+
+    @jax.jit
+    def score(
+        particles: Particles,
+        pyr,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+        slot_vals: jnp.ndarray,
+    ):
+        p = particles
+        if mode == "tracked":
+            num, den, kf = scorer(
+                pyr, stencil, scan, class_weights, p.pose_px(),
+                p.theta, p.scale, slot_vals, res,
+            )
+            cost = num / den
+            cost = jnp.where(kf < 0.5, jnp.nan, cost)
+            return cost, p.theta
+        nums, dens, kf = scorer(
+            pyr, stencil, scan, class_weights, p.pose_px(), p.scale,
+            slot_vals, res,
+        )
+        costs = nums / dens
+        costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
+        return select_init_cost(costs, params.num_rot_search)
+
+    def update(
+        state: FilterState,
+        pyr,
+        map_size_scaled: jnp.ndarray,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+        slot_vals: jnp.ndarray,
+    ) -> FilterState:
+        cost, new_theta = score(
+            state.particles, pyr, stencil, scan, res, slot_vals
+        )
+        return tail_fn(state, cost, new_theta, map_size_scaled)
+
+    return update
+
+
 def make_update_step(
     params: FilterParams,
     grid_num_classes: int,
@@ -439,11 +517,15 @@ class ParticleFilter:
         params: FilterParams,
         seed: int = 0,
         theta_bins: int = 100,
-        gmm_every: int = 1,
+        gmm_every: int = 10,
         chunk_size: int = 2048,
         use_fast: str | bool = "auto",
         mesh=None,
     ):
+        # gmm_every=10 is the node-rate equivalent of the reference's
+        # 1 Hz GMM background thread (particle_filter.cpp:245-250) at
+        # its 10 Hz KITTI scan rate; RuntimeParams.gmm_every and
+        # bench.py use the same default.
         # pad N to a chunk multiple (static-shape requirement)
         chunk_size = min(chunk_size, n_max)
         n_max = ((n_max + chunk_size - 1) // chunk_size) * chunk_size
@@ -476,6 +558,7 @@ class ParticleFilter:
         self._sharded_fns = {}
         self._pending_motion = None
         self._maps_cache = {}
+        self._pyramid_cache = {}
         self._map_version = 0
         self._all_have_init = False
         self._last_omega = 0.0
@@ -593,15 +676,32 @@ class ParticleFilter:
     def propagate(self, trans, omega) -> None:
         if self.state is None:
             return
-        self._last_omega = float(omega)
         t = np.asarray(trans, dtype=np.float64).reshape(-1)
-        self._last_dist_m = float(np.hypot(t[0], t[1]))
+        d = float(np.hypot(t[0], t[1]))
+        # accumulate since the last update() for the shift-window margin
+        # (several propagate calls per update is a supported pattern,
+        # particle_filter.h:27)
+        self._last_omega += float(omega)
+        self._last_dist_m += d
         if self.mesh is not None:
-            # deferred into the fused sharded step at the next update()
-            self._pending_motion = (
-                np.asarray(trans, np.float32).reshape(2),
-                float(omega),
-            )
+            # deferred into the fused sharded step at the next update();
+            # successive calls COMPOSE (rotate the new body-frame
+            # translation by the accumulated omega, sum omegas and
+            # noise-scaling distances) so per-odometry-tick propagation
+            # matches the single-chip per-call application
+            t2 = np.asarray(trans, np.float32).reshape(2)
+            if self._pending_motion is None:
+                self._pending_motion = (t2, float(omega), d)
+            else:
+                t0, o0, d0 = self._pending_motion
+                c, s = math.cos(o0), math.sin(o0)
+                t_rot = np.asarray(
+                    [c * t2[0] - s * t2[1], s * t2[0] + c * t2[1]],
+                    np.float32,
+                )
+                self._pending_motion = (
+                    t0 + t_rot, o0 + float(omega), d0 + d
+                )
             return
         key, sub = jax.random.split(self.state.key)
         parts = particles_mod.propagate(
@@ -629,7 +729,10 @@ class ParticleFilter:
         elif bool(self.state.scale_frozen):
             scale = float(self.state.particles.scale[0])
         else:
-            return None
+            # unknown scale: K-bucket multi-scale crop path (the
+            # reference's 10 discrete scale hypotheses,
+            # particle_filter.cpp:19-25, stay clustered until freeze)
+            return self._multi_mode(res)
         from top_down_renderer_tpu.filter import conv_score as cs
 
         range_bins = self.map.stencil.shape[1]
@@ -689,6 +792,83 @@ class ParticleFilter:
         return (
             mode, mo_crop, scale, "crop", 0, 0, self.theta_bins, mip
         )
+
+    def _multi_mode(self, res: float):
+        """Unknown-scale dispatch: cluster the alive scales into <=
+        MAX_BUCKETS slots and route to the K-bucket crop path.  Returns
+        a 'multi'-tagged tuple (mode, None, None, 'multi', slot_vals,
+        mip levels, bucket->level idx, K_padded) or None (exact
+        gather)."""
+        if self.mesh is not None:
+            return None  # Pallas is single-chip; mesh falls to exact
+        from top_down_renderer_tpu.filter import multiscale as ms
+
+        if self._all_have_init:
+            mode = "tracked"
+        else:
+            have = np.asarray(self.state.particles.have_init)
+            alive_m = np.asarray(self.state.particles.alive)
+            if np.all(have[alive_m]):
+                mode = "tracked"
+            elif not np.any(have[alive_m]):
+                mode = "init"
+            else:
+                return None
+        p = self.state.particles
+        alive = np.asarray(p.alive)
+        scales = np.asarray(p.scale)[alive]
+        if scales.size == 0:
+            return None
+        slots = ms.cluster_scales(scales)
+        if slots is None:
+            return None  # diffuse continuum: exact gather
+        # pad K to a few static sizes so buckets dying off as the scale
+        # posterior sharpens doesn't recompile at every count
+        k = len(slots)
+        kp = next(
+            x for x in (2, 4, 8, ms.MAX_BUCKETS) if k <= x
+        )
+        slots_p = np.concatenate(
+            [slots, np.full(kp - k, slots[-1], np.float32)]
+        )
+        mips = tuple(
+            ms.mip_for_f(float(s) * res) for s in slots_p
+        )
+        levels = tuple(sorted(set(mips)))
+        bmi = tuple(levels.index(m) for m in mips)
+        return (mode, None, None, "multi", slots_p, levels, bmi, kp)
+
+    def _get_pyramid_maps(self, levels):
+        from top_down_renderer_tpu.filter import multiscale as ms
+
+        key = (self._map_version, levels)
+        if key not in self._pyramid_cache:
+            self._pyramid_cache[key] = ms.build_pyramid_maps(
+                self.map.grid.dist, levels
+            )
+        return self._pyramid_cache[key]
+
+    def _get_multi_fn(self, mode: str, kp: int, bmi):
+        key = ("multi", mode, kp, bmi)
+        if key not in self._fast_fns:
+            if not hasattr(self, "_tail_fn"):
+                self._tail_fn = make_tail_fn(
+                    self.params, self.n_max, 8, self.gmm_every,
+                    self.theta_bins,
+                )
+            self._fast_fns[key] = make_update_step_multiscale(
+                self.params,
+                self.map.grid.num_classes,
+                self.map.resolution,
+                self.theta_bins,
+                self.n_max,
+                mode,
+                kp,
+                bmi,
+                gmm_every=self.gmm_every,
+                tail_fn=self._tail_fn,
+            )
+        return self._fast_fns[key]
 
     def _shift_window(self):
         """Smallest circular shift window covering the live shifts (from
@@ -845,10 +1025,11 @@ class ParticleFilter:
                 )
 
     def _get_sharded_fast_fn(
-        self, mode: str, mo: int, region: int, window_w: int
+        self, mode: str, mo: int, region: int, window_w: int,
+        use_s2d: bool = True,
     ):
         pm = self._get_padded_maps()
-        key = (mode, mo, region, window_w, self._map_version)
+        key = (mode, mo, region, window_w, use_s2d, self._map_version)
         if key not in self._sharded_fns:
             from top_down_renderer_tpu.parallel.sharding import (
                 make_sharded_step_fast,
@@ -869,6 +1050,7 @@ class ParticleFilter:
                 map_hp=pm.hp,
                 map_wp=pm.wp,
                 gmm_every=self.gmm_every,
+                use_s2d=use_s2d,
             )
         return self._sharded_fns[key]
 
@@ -880,12 +1062,14 @@ class ParticleFilter:
         from top_down_renderer_tpu.filter import conv_score as cs
 
         if self._pending_motion is not None:
-            trans, omega = self._pending_motion
+            trans, omega, dist = self._pending_motion
             self._pending_motion = None
+            gate = 1.0
         else:
-            trans, omega = np.zeros(2, np.float32), 0.0
-        trans_j = jnp.asarray(trans, jnp.float32)
-        omega_j = jnp.asarray(omega, jnp.float32)
+            trans, omega, dist, gate = np.zeros(2, np.float32), 0.0, 0.0, 0.0
+        motion_j = jnp.asarray(
+            [trans[0], trans[1], omega, dist, gate], jnp.float32
+        )
         fast = self._fast_mode(float(res_j))
         if fast is not None and fast[3] == "conv":
             mode, mo, _scale, _path, region, s0, ww, _mip = fast
@@ -898,23 +1082,29 @@ class ParticleFilter:
                 16 * s_out * cs.s2d_extent(dr) * cs.s2d_extent(dc)
                 * 128 * 2
             )
-            if k4_bytes <= cs.K4_MAX_BYTES:
-                fn = self._get_sharded_fast_fn(mode, mo, region, ww)
+            use_s2d = k4_bytes <= cs.K4_MAX_BYTES
+            n_dev = int(self.mesh.devices.size)
+            # the direct (unfolded) sharded field needs the region rows
+            # to split evenly; otherwise (non-pow2 meshes) exact gather
+            if use_s2d or region % n_dev == 0:
+                fn = self._get_sharded_fast_fn(
+                    mode, mo, region, ww, use_s2d
+                )
+                pm = self._get_padded_maps()
                 self.state = fn(
                     self.state,
-                    self._get_padded_maps().padded4d,
+                    pm.padded4d if use_s2d else pm.padded3d,
                     map_size_scaled,
                     stencil,
                     scan,
                     res_j,
-                    trans_j,
-                    omega_j,
+                    motion_j,
                     jnp.asarray(s0, jnp.int32),
                 )
                 return
         self.state = self._update_fn(
             self.state, self.map.grid.dist, map_size_scaled, stencil,
-            scan, res_j, trans_j, omega_j,
+            scan, res_j, motion_j,
         )
 
     def update(self, scan, res) -> None:
@@ -932,9 +1122,22 @@ class ParticleFilter:
         if self.mesh is not None:
             self._update_sharded(scan, res_j, map_size_scaled, stencil)
             self._all_have_init = True
+            self._last_omega = 0.0
+            self._last_dist_m = 0.0
             return
         fast = self._fast_mode(float(res))
-        if fast is not None:
+        if fast is not None and fast[3] == "multi":
+            mode, _, _, _, slots, levels, bmi, kp = fast
+            self.state = self._get_multi_fn(mode, kp, bmi)(
+                self.state,
+                self._get_pyramid_maps(levels),
+                map_size_scaled,
+                stencil,
+                scan,
+                res_j,
+                jnp.asarray(slots, jnp.float32),
+            )
+        elif fast is not None:
             mode, mo, scale_h, path, region, s0, ww, mip = fast
             self.state = self._get_fast_fn(
                 mode, mo, path, region, ww, mip
@@ -954,6 +1157,8 @@ class ParticleFilter:
             )
         # every scoring path sets have_init=True for all particles
         self._all_have_init = True
+        self._last_omega = 0.0
+        self._last_dist_m = 0.0
 
     # -- queries (particle_filter.h:29-41) -----------------------------
     def mean_likelihood(self) -> np.ndarray:
@@ -1026,6 +1231,7 @@ class ParticleFilter:
         self.map.update_map(ind_img, map_center)
         self._map_version += 1
         self._maps_cache.clear()
+        self._pyramid_cache.clear()
         delta = np.asarray(map_center) - self._last_map_center
         if self.state is not None:
             p = self.state.particles

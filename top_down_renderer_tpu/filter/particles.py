@@ -142,19 +142,31 @@ def propagate(
     omega: jnp.ndarray,
     params: FilterParams,
     scale_frozen: jnp.ndarray,
+    dist=None,
+    noise_gate=None,
 ) -> Particles:
     """Motion model (StateParticle::propagate, state_particle.cpp:57-78).
 
     trans: (2,) body-frame translation (m); omega: scalar yaw delta.
     Noise is scaled by the step's travel distance; scale receives
     multiplicative noise N(1, min(2/dist, 0.02)) unless frozen (:71-74).
+
+    dist: optional override of the noise-scaling distance - the mesh
+    path composes several deferred propagate() calls into one fused
+    motion and passes the SUMMED per-call distance so noise magnitudes
+    match per-call application.  noise_gate: optional 0/1 scalar
+    multiplying the scale-noise sigma - 0 when the fused step runs with
+    no user propagate() at all, so update-only mesh steps don't apply
+    the dist->0 sigma floor of 0.02 that single-chip update() (which
+    skips propagate entirely) never applies.
     """
     n = particles.n_max
 
     c, s = jnp.cos(particles.theta), jnp.sin(particles.theta)
     tg_x = c * trans[0] - s * trans[1]
     tg_y = s * trans[0] + c * trans[1]
-    dist = jnp.sqrt(trans[0] ** 2 + trans[1] ** 2)
+    if dist is None:
+        dist = jnp.sqrt(trans[0] ** 2 + trans[1] ** 2)
 
     last_pos = particles.d_m
     noise = jax.random.normal(key, (n, 4))  # one fused RNG draw
@@ -169,6 +181,8 @@ def propagate(
     )
 
     scale_sigma = jnp.minimum(2.0 / jnp.maximum(dist, 1e-20), 0.02)
+    if noise_gate is not None:
+        scale_sigma = scale_sigma * noise_gate
     scale_noise = 1.0 + noise[:, 3] * scale_sigma
     new_scale = jnp.where(
         scale_frozen, particles.scale, particles.scale * scale_noise

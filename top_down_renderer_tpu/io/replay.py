@@ -163,15 +163,25 @@ def _interp_gps(bag: Bag, stamps: np.ndarray) -> np.ndarray:
 
 
 def benchmark_loc(
-    make_node, bag: Bag, runs: int = 5, **replay_kw
+    make_node, bag: Bag, runs: int = 5, verbose: bool = False,
+    **replay_kw
 ) -> Dict:
     """Localization-accuracy benchmark (benchmark_loc.py:43-96): repeat
     runs, compare post-convergence pose_est to interpolated GPS.
     make_node: factory returning a fresh TopDownRenderNode per run."""
+    import time as _time
+
     all_runs = []
     for r in range(runs):
         node = make_node(r)
+        _t0 = _time.perf_counter()
         rec = replay(node, bag, **replay_kw)
+        if verbose:
+            print(
+                f"[benchmark_loc] run {r}: {rec['n_scans']} scans in "
+                f"{_time.perf_counter() - _t0:.0f}s, converged at "
+                f"{rec['first_converged_stamp']}", flush=True,
+            )
         errs = []
         if bag.gps_stamps is not None and rec["poses"]:
             stamps = np.array([p.stamp for p in rec["poses"]])
@@ -198,21 +208,33 @@ def benchmark_conv(
     bag: Bag,
     offsets=None,
     poses_after: int = 200,
+    max_scans: Optional[int] = None,
+    verbose: bool = False,
 ) -> Dict:
     """Convergence benchmark (benchmark_conv.py:52-83): sweep start
     offsets, measure time + GPS distance until first convergence."""
+    import time as _time
+
     if offsets is None:
         span = float(bag.scan_stamps[-1] - bag.scan_stamps[0])
         offsets = np.arange(0.0, max(span - 30.0, 1.0), 30.0)
     results = []
     for k, off in enumerate(offsets):
         node = make_node(k)
+        _t0 = _time.perf_counter()
         rec = replay(
             node,
             bag,
             start_offset=float(off),
             stop_after_converged_poses=poses_after,
+            max_scans=max_scans,
         )
+        if verbose:
+            print(
+                f"[benchmark_conv] offset {off}: {rec['n_scans']} scans "
+                f"in {_time.perf_counter() - _t0:.0f}s, converged at "
+                f"{rec['first_converged_stamp']}", flush=True,
+            )
         conv_t = rec["first_converged_stamp"]
         entry = {
             "offset": float(off),

@@ -274,8 +274,7 @@ def make_sharded_step(
         stencil: jnp.ndarray,
         scan: jnp.ndarray,
         res: jnp.ndarray,
-        trans: jnp.ndarray,
-        omega: jnp.ndarray,
+        motion: jnp.ndarray,  # (5,) tx, ty, omega, dist, gate
     ) -> FilterState:
         my = jax.lax.axis_index(axis)
         p = state.particles  # local shard (n_local)
@@ -285,10 +284,12 @@ def make_sharded_step(
         p = propagate(
             p,
             jax.random.fold_in(k_prop, my),
-            trans,
-            omega,
+            motion[:2],
+            motion[2],
             params,
             state.scale_frozen,
+            dist=motion[3],
+            noise_gate=motion[4],
         )
 
         # --- score (local, chunked) ---
@@ -324,8 +325,7 @@ def make_sharded_step(
             P(),  # stencil
             P(),  # scan
             P(),
-            P(),
-            P(),
+            P(),  # motion
         ),
         out_specs=state_spec,
         check_vma=False,
@@ -350,22 +350,27 @@ def make_sharded_step_fast(
     k_max: int = 8,
     gmm_every: int = 1,
     axis: str = "data",
+    use_s2d: bool = True,
 ):
     """Multi-chip conv cost-field step (the converged fast path): field
     ROWS are sharded over the mesh - each device convs its slice of the
-    folded (space-to-depth) region and one all_gather assembles the
-    small f32 field - so the dominant MXU work scales 1/n_dev.  The
-    particle axis stays sharded end-to-end (propagate, field reads,
-    weights, resample collectives as in make_sharded_step).
+    region and one all_gather assembles the small f32 field - so the
+    dominant MXU work scales 1/n_dev.  The particle axis stays sharded
+    end-to-end (propagate, field reads, weights, resample collectives
+    as in make_sharded_step).
 
-    Requires a uniform particle scale and the folded-kernel gate
-    (conv_score.K4_MAX_BYTES); ParticleFilter's mesh dispatch enforces
-    both and falls back to the exact sharded step otherwise."""
+    Requires a uniform particle scale.  use_s2d picks the formulation:
+    True = space-to-depth phase fold over padded4d (below the
+    conv_score.K4_MAX_BYTES kernel gate); False = DIRECT conv over
+    padded3d (large kernels, e.g. full-window tracked at mo 48) - the
+    same gate the single-chip path applies (conv_score.py make_conv_
+    scorer), so mesh mode never silently drops to the exact gather.
+    The direct path requires region % n_dev == 0 (ParticleFilter's
+    dispatch enforces it)."""
     from top_down_renderer_tpu.filter import conv_score as cs
 
     n_dev = mesh.devices.size
     assert n_max % n_dev == 0, "n_max must be divisible by mesh size"
-    assert n_dev <= 16, "fold_map_s2d margin sized for <= 16 devices"
     n_local = n_max // n_dev
     class_weights = _pad_class_weights(params, num_classes)
     num_rot = params.num_rot_search
@@ -375,17 +380,23 @@ def make_sharded_step_fast(
     dye, dxe = cs.s2d_extent(dr), cs.s2d_extent(dc)
     nyb = region // f4 + 1
     nxb = region // f4 + 1
-    nybl = -(-nyb // n_dev)  # field rows per device
+    nybl = -(-nyb // n_dev)  # folded field rows per device
+    if use_s2d:
+        assert n_dev <= 16, "fold_map_s2d margin sized for <= 16 devices"
+    else:
+        assert region % n_dev == 0, (
+            "direct conv row-sharding needs region % n_dev == 0"
+        )
+    rl = max(region // n_dev, 1)  # direct field rows per device
 
     def step_fn(
         state: FilterState,
-        padded4d: jnp.ndarray,  # PaddedMaps.padded4d, replicated
+        mapbuf: jnp.ndarray,  # padded4d (s2d) | padded3d (direct)
         map_size_scaled: jnp.ndarray,
         stencil: jnp.ndarray,
         scan: jnp.ndarray,
         res: jnp.ndarray,
-        trans: jnp.ndarray,
-        omega: jnp.ndarray,
+        motion: jnp.ndarray,  # (5,) tx, ty, omega, dist, gate
         s0: jnp.ndarray,
     ) -> FilterState:
         my = jax.lax.axis_index(axis)
@@ -394,10 +405,12 @@ def make_sharded_step_fast(
         p = propagate(
             p,
             jax.random.fold_in(k_prop, my),
-            trans,
-            omega,
+            motion[:2],
+            motion[2],
             params,
             state.scale_frozen,
+            dist=motion[3],
+            noise_gate=motion[4],
         )
         th, r, _ = stencil.shape
         f = p.scale[0] * res  # uniform by contract
@@ -405,8 +418,6 @@ def make_sharded_step_fast(
             scan, class_weights, stencil, f, mo, mode, num_rot,
             window_w, s0,
         )
-        k4 = cs.fold_kernel_s2d(kernel)
-
         center_px = p.pose_px()
         cy = jnp.round(center_px[:, 1] / map_resolution).astype(
             jnp.int32
@@ -427,34 +438,53 @@ def make_sharded_step_fast(
         )
         y0 = oy - dr // 2
         x0 = ox - dc // 2
-        ys4, roy = y0 // f4, y0 % f4
-        xs4, rox = x0 // f4, x0 % f4
-        # this device's slice of the folded field rows
-        block = jax.lax.dynamic_slice(
-            padded4d,
-            (ys4 + my * nybl, xs4, 0),
-            (nybl + dye - 1, nxb + dxe - 1, f4 * f4 * cs.C_PAD),
-        )
-        out_loc = jax.lax.conv_general_dilated(
-            block[None],
-            k4,
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )[0]  # (nybl, nxb, 16*s_out)
-        out4 = jax.lax.all_gather(out_loc, axis, tiled=True)
-        flat = out4.reshape(-1)
-
         iy = jnp.clip(cy - oy, 0, region - 1)
         ix = jnp.clip(cx - ox, 0, region - 1)
-        jy = iy + roy
-        jx = ix + rox
-        base = (
-            ((jy // f4) * nxb + jx // f4) * 16
-            + (jy % f4) * f4
-            + jx % f4
-        ) * s_out
+        if use_s2d:
+            k4 = cs.fold_kernel_s2d(kernel)
+            ys4, roy = y0 // f4, y0 % f4
+            xs4, rox = x0 // f4, x0 % f4
+            # this device's slice of the folded field rows
+            block = jax.lax.dynamic_slice(
+                mapbuf,
+                (ys4 + my * nybl, xs4, 0),
+                (nybl + dye - 1, nxb + dxe - 1, f4 * f4 * cs.C_PAD),
+            )
+            out_loc = jax.lax.conv_general_dilated(
+                block[None],
+                k4,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )[0]  # (nybl, nxb, 16*s_out)
+            out4 = jax.lax.all_gather(out_loc, axis, tiled=True)
+            flat = out4.reshape(-1)
+            jy = iy + roy
+            jx = ix + rox
+            base = (
+                ((jy // f4) * nxb + jx // f4) * 16
+                + (jy % f4) * f4
+                + jx % f4
+            ) * s_out
+        else:
+            # direct conv over this device's rl field rows of padded3d
+            block = jax.lax.dynamic_slice(
+                mapbuf,
+                (y0 + my * rl, x0, 0),
+                (rl + dr - 1, region + dc - 1, cs.C_PAD),
+            )
+            out_loc = jax.lax.conv_general_dilated(
+                block[None].astype(jnp.bfloat16),
+                kernel,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )[0]  # (rl, region, s_out)
+            field = jax.lax.all_gather(out_loc, axis, tiled=True)
+            flat = field.reshape(-1)
+            base = (iy * region + ix) * s_out
         if mode == "tracked":
             s = rotation_shift(p.theta, th)
             local = jnp.clip((s - s0) % th, 0, window_w - 1)
@@ -492,9 +522,8 @@ def make_sharded_step_fast(
             P(),
             P(),
             P(),
-            P(),
-            P(),
-            P(),
+            P(),  # motion
+            P(),  # s0
         ),
         out_specs=state_spec,
         check_vma=False,
