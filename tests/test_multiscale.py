@@ -1,0 +1,224 @@
+"""Interpret-mode parity tests for the unknown-scale multi-bucket scorer.
+
+The multi-scale path (filter/multiscale.py) must reproduce, per bucket,
+exactly what the uniform-f crop scorer (filter/pallas_score.py) computes
+at that bucket's effective f on that bucket's mip level - the kernel,
+M build, and crop semantics are shared; only the variant key and the
+pyramid origin computation are new.  The uniform scorer is itself
+parity-tested against the exact gather (test_pallas_interpret.py), so
+bucket-equality here closes the chain back to the reference
+(/root/reference/src/state_particle.cpp:112-219 at the init regime's
+log-uniform scales, particle_filter.cpp:19-84)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from top_down_renderer_tpu.filter import multiscale as ms
+from top_down_renderer_tpu.filter import pallas_score as ps
+from top_down_renderer_tpu.filter.scoring import rotation_shift
+from top_down_renderer_tpu.maps.polar import polar_stencil
+
+H = W = 256
+C = 3
+TH, R = 100, 25
+MO = 12  # f_eff = 0.5 everywhere -> small crops keep interpret fast
+
+
+def test_cluster_scales_init_population():
+    """The reference's 10 discrete hypotheses cluster losslessly."""
+    hyp = 10.0 ** (np.arange(10) / 10.0)
+    scales = np.repeat(hyp, 100).astype(np.float32)
+    slots = ms.cluster_scales(scales)
+    assert slots is not None and len(slots) == 10
+    np.testing.assert_allclose(np.sort(slots), hyp, rtol=1e-5)
+
+
+def test_cluster_scales_diffused_population():
+    """2%-diffused hypotheses still cluster within tolerance."""
+    rng = np.random.default_rng(0)
+    hyp = 10.0 ** (np.arange(8) / 10.0)
+    scales = (
+        np.repeat(hyp, 200)
+        * (1.0 + rng.standard_normal(1600) * 0.005)
+    ).astype(np.float32)
+    slots = ms.cluster_scales(scales, rtol=0.03)
+    assert slots is not None and len(slots) <= 12
+    # every particle within 3% of its nearest slot
+    d = np.abs(np.log(scales)[:, None] - np.log(slots)[None, :])
+    assert np.max(d.min(axis=1)) < np.log1p(0.03)
+
+
+def test_cluster_scales_continuum_rejects():
+    rng = np.random.default_rng(1)
+    scales = 10.0 ** rng.uniform(0, 1, 5000).astype(np.float32)
+    assert ms.cluster_scales(scales) is None
+
+
+def test_multi_dispatch_tuple():
+    """ParticleFilter._fast_mode must route the unknown-scale regime
+    (10 discrete init hypotheses, particle_filter.cpp:19-25) to the
+    multi-bucket path: init flavor pre-update, tracked after."""
+    from top_down_renderer_tpu.config import FilterParams, MapParams
+    from top_down_renderer_tpu.filter.filter import ParticleFilter
+    from top_down_renderer_tpu.maps.map import TopDownMap, build_grid
+
+    c = 3
+    maps_bin = np.ones((c, 96, 96), np.float32)
+    maps_bin[1, 44:52, :] = 0.0
+    tdm = TopDownMap(MapParams(map_path="", num_classes=c, resolution=1.0))
+    tdm.grid = build_grid(maps_bin, 1.0, 50.0)
+    tdm.class_maps_binary = maps_bin
+    tdm.have_map = True
+    tdm.sample_pts_polar(100, 25)
+    params = FilterParams(
+        fixed_scale=-1.0, class_weights=[0.5] + [1.5] * (c - 1),
+    )
+    pf = ParticleFilter(
+        640, tdm, params, seed=0, chunk_size=64, use_fast=True
+    )
+    fast = pf._fast_mode(1.0)
+    assert fast is not None and fast[3] == "multi"
+    mode, _, _, _, slots, levels, bmi, kp = fast
+    assert mode == "init"
+    assert kp == 12 and len(slots) == 12 and len(bmi) == 12
+    hyp = 10.0 ** (np.arange(10) / 10.0)
+    np.testing.assert_allclose(np.sort(np.unique(slots[:10])), hyp,
+                               rtol=1e-4)
+    # f spans [1, 7.94] -> mip levels 1..8 present
+    assert levels[0] == 1 and levels[-1] == 8
+    pf._all_have_init = True
+    assert pf._fast_mode(1.0)[0] == "tracked"
+    # frozen scale must leave the multi path for the uniform dispatch
+    pf.freeze_scale()
+    fast2 = pf._fast_mode(1.0)
+    assert fast2 is None or fast2[3] in ("conv", "crop")
+
+
+def _world(seed=3):
+    rng = np.random.default_rng(seed)
+    packed = np.zeros((H, W, 8), np.float32)
+    packed[..., :C] = rng.random((H, W, C)) * 50
+    packed[..., C] = (rng.random((H, W)) < 0.9).astype(np.float32)
+    stencil = polar_stencil(TH, R)
+    scan = (rng.random((C, TH, R)) * 3).astype(np.float32)
+    cw = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    return packed, stencil, scan, cw, rng
+
+
+@pytest.fixture(scope="module")
+def setup():
+    packed, stencil, scan, cw, rng = _world()
+    # two buckets: scale 0.5 at mip 1, scale 1.0 at mip 2; res = 1
+    slot_vals = np.array([0.5, 1.0], np.float32)
+    mips = (1, 2)
+    pyr = ms.build_pyramid_maps(jnp.asarray(packed), mips)
+    n = 96
+    centers = rng.integers(48, 200, (n, 2)).astype(np.float32)
+    scale = np.where(rng.random(n) < 0.5, 0.5, 1.0).astype(np.float32)
+    return packed, stencil, scan, cw, pyr, slot_vals, centers, scale
+
+
+def _uniform_ref_init(packed, stencil, scan, cw, centers, mip, f_eff):
+    maps = ps.build_padded_maps(jnp.asarray(packed[::mip, ::mip]))
+    return ps.score_init_fast_mo(
+        maps, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), f_eff, MO,
+        map_resolution=float(mip), interpret=True,
+    )
+
+
+def test_multi_init_bucket_parity(setup, monkeypatch):
+    packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    score = ms.make_score_init_multi(
+        2, (0, 1), interpret=True, mo=MO
+    )
+    costs, norms, kf = score(
+        pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(scale),
+        jnp.asarray(slot_vals), jnp.asarray(1.0, jnp.float32),
+    )
+    costs, norms, kf = map(np.asarray, (costs, norms, kf))
+    for k, (mip, sv) in enumerate(zip((1, 2), slot_vals)):
+        sel = scale == sv
+        f_eff = sv * 1.0 / mip
+        cr, nr, kr = _uniform_ref_init(
+            packed, stencil, scan, cw, centers[sel], mip, f_eff
+        )
+        np.testing.assert_allclose(
+            costs[sel], np.asarray(cr), rtol=2e-3, atol=1e-3,
+            err_msg=f"bucket {k} costs",
+        )
+        np.testing.assert_allclose(
+            norms[sel], np.asarray(nr), rtol=2e-3, atol=1e-3,
+            err_msg=f"bucket {k} norms",
+        )
+        np.testing.assert_allclose(
+            kf[sel], np.asarray(kr), atol=1e-3,
+            err_msg=f"bucket {k} kf",
+        )
+
+
+def test_multi_tracked_bucket_parity(setup, monkeypatch):
+    packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)
+    rng = np.random.default_rng(9)
+    n = len(centers)
+    thetas = (rng.random(n) * 2 * np.pi).astype(np.float32)
+    score = ms.make_score_tracked_multi(
+        2, (0, 1), interpret=True, mo=MO
+    )
+    cost, norm, kf = score(
+        pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(thetas),
+        jnp.asarray(scale), jnp.asarray(slot_vals),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    cost, norm, kf = map(np.asarray, (cost, norm, kf))
+    for k, (mip, sv) in enumerate(zip((1, 2), slot_vals)):
+        sel = scale == sv
+        f_eff = sv * 1.0 / mip
+        maps = ps.build_padded_maps(
+            jnp.asarray(packed[::mip, ::mip])
+        )
+        cr, nr, kr = ps.score_tracked_fast_mo(
+            maps, jnp.asarray(stencil), jnp.asarray(scan), cw,
+            jnp.asarray(centers[sel]), jnp.asarray(thetas[sel]),
+            f_eff, MO, map_resolution=float(mip), interpret=True,
+        )
+        np.testing.assert_allclose(
+            cost[sel], np.asarray(cr), rtol=2e-3, atol=1e-3,
+            err_msg=f"bucket {k} cost",
+        )
+        np.testing.assert_allclose(
+            norm[sel], np.asarray(nr), rtol=2e-3, atol=1e-3,
+            err_msg=f"bucket {k} norm",
+        )
+        np.testing.assert_allclose(
+            kf[sel], np.asarray(kr), atol=1e-3,
+            err_msg=f"bucket {k} kf",
+        )
+
+
+def test_pyramid_level_bounds(setup, monkeypatch):
+    """A center whose mip-2 crop would cross the coarse level's top edge
+    must be flagged out-of-range (kf 0) - never silently read the zero
+    pad (or worse, a neighboring pyramid level's rows)."""
+    packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    # mip-2 level is 128 px + 2*64 pad; a center at y= -100 px maps to
+    # cy2 = -50 -> y0l = -50 - 16 + 64 < 0 -> out of range
+    bad = np.array([[64.0, -100.0], [64.0, 64.0]], np.float32)
+    scl = np.array([1.0, 1.0], np.float32)  # both bucket 1 (mip 2)
+    score = ms.make_score_init_multi(
+        2, (0, 1), interpret=True, mo=MO
+    )
+    costs, norms, kf = score(
+        pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(bad), jnp.asarray(scl),
+        jnp.asarray(slot_vals), jnp.asarray(1.0, jnp.float32),
+    )
+    kf = np.asarray(kf)
+    assert kf[0] == 0.0
+    assert kf[1] > 0.5
