@@ -70,7 +70,50 @@ def main():
         fixed_scale=scale, class_weights=[1.0] * c, force_on_map=True
     )
 
-    if exact:
+    multi = os.environ.get("BENCH_MULTI", "0") == "1"
+    s0 = 0
+    if multi:
+        # unknown-scale regime: the reference's 10 discrete scale
+        # hypotheses (particle_filter.cpp:19-25) through the K-bucket
+        # multi-scale crop path (filter/multiscale.py)
+        from top_down_renderer_tpu.filter import multiscale as msc
+        from top_down_renderer_tpu.filter.filter import (
+            make_update_step_multiscale,
+        )
+
+        mode = os.environ.get("BENCH_MODE", "tracked")
+        hyp = (10.0 ** (np.arange(10) / 10.0)).astype(np.float32)
+        state = state.replace(
+            particles=state.particles.replace(
+                scale=jnp.asarray(hyp[np.arange(n) % 10]),
+                have_init=jnp.full(
+                    (n,), mode == "tracked", dtype=bool
+                ),
+            ),
+            scale_frozen=jnp.asarray(False),
+        )
+        params = FilterParams(
+            fixed_scale=-1.0, class_weights=[1.0] * c,
+            force_on_map=True,
+        )
+        mips = tuple(msc.mip_for_f(float(s) * res_v) for s in hyp)
+        levels = tuple(sorted(set(mips)))
+        bmi = tuple(levels.index(m) for m in mips)
+        update_multi = make_update_step_multiscale(
+            params, grid_num_classes=c, map_resolution=1.0,
+            theta_bins=theta_bins, n_max=n, mode=mode,
+            n_buckets=10, bucket_mip_idx=bmi, gmm_every=10,
+        )
+        pyr = msc.build_pyramid_maps(packed, levels)
+        slots_j = jnp.asarray(hyp)
+
+        def update(st, _map_arg, msz, sten, sc, r, **_kw):
+            return update_multi(st, pyr, msz, sten, sc, r, slots_j)
+
+        map_arg = None
+        path = f"multi-{mode}-k10-mips{levels}"
+        ww = None
+    elif exact:
         update = make_update_step(
             params, grid_num_classes=c, map_resolution=1.0,
             theta_bins=theta_bins, n_max=n, gmm_every=10,

@@ -80,9 +80,14 @@ def test_fast_mode_selection():
     assert mode in ("tracked", "init")
     assert scale == 2.0
     assert mip == 1
-    # unfrozen scale -> None
+    # unfrozen scale -> multi-bucket path (the 10 discrete init
+    # hypotheses cluster into slots; K padded to 12)
     pf2 = _pf(fixed_scale=-1.0)
-    assert pf2._fast_mode(0.5) is None
+    out2 = pf2._fast_mode(0.5)
+    assert out2 is not None and out2[3] == "multi"
+    _, _, _, _, slots, levels, bmi, kp = out2
+    assert kp == 12 and len(slots) == 12
+    assert len(bmi) == 12 and max(bmi) < len(levels)
 
 
 def test_fast_mode_mip_fallback():

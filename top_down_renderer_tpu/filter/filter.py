@@ -985,6 +985,28 @@ class ParticleFilter:
                 s0=0,
             )
 
+        if (
+            self.params.fixed_scale <= 0
+            and not bool(self.state.scale_frozen)
+        ):
+            # unknown-scale regime: precompile the K-bucket multi path
+            # for the CURRENT population (Pallas: TPU only)
+            if jax.default_backend() in ("cpu",):
+                return
+            fast = self._fast_mode(res)
+            if fast is not None and fast[3] == "multi":
+                _, _, _, _, slots, levels, bmi, kp = fast
+                for m in modes:
+                    self._get_multi_fn(m, kp, bmi)(
+                        self.state,
+                        self._get_pyramid_maps(levels),
+                        map_size_scaled,
+                        stencil,
+                        dummy_scan,
+                        res_j,
+                        jnp.asarray(slots, jnp.float32),
+                    )
+            return
         mo = ps.pick_crop_size(
             scale * res, range_bins, ps._MO_BUCKETS_CONV
         )
