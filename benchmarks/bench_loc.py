@@ -27,7 +27,8 @@ import numpy as np
 from city_bag import CLASS_COLORS, CLASS_NAMES
 
 
-def make_node_factory(data_dir, particle_count, seed_base=0):
+def make_node_factory(data_dir, particle_count, seed_base=0,
+                      name="city"):
     from top_down_renderer_tpu.config import (
         ClassConfig,
         MapConfig,
@@ -45,10 +46,10 @@ def make_node_factory(data_dir, particle_count, seed_base=0):
         exclusivity=[True] * len(CLASS_NAMES),
         loc_weight=[0.1, 1.0, 2.5, 1.5, 2.0, 2.0],
     )
-    with open(os.path.join(data_dir, "city_meta.json")) as f:
+    with open(os.path.join(data_dir, f"{name}_meta.json")) as f:
         meta = json.load(f)
     mc = MapConfig(
-        raster_path=os.path.join(data_dir, "city.png"),
+        raster_path=os.path.join(data_dir, f"{name}.png"),
         resolution=float(meta["scale_px_m"]),
     )
     rt = RuntimeParams(
@@ -84,6 +85,8 @@ def main():
                     help="skip the throwaway cache-warming run")
     ap.add_argument("--tag", default=None,
                     help="result key suffix (e.g. 'smoke')")
+    ap.add_argument("--bag", default="city",
+                    help="bag basename: city | city_hard (realism)")
     args = ap.parse_args()
 
     import jax
@@ -99,8 +102,10 @@ def main():
         replay,
     )
 
-    bag = Bag.load(os.path.join(args.data, "city.npz"))
-    make_node, meta = make_node_factory(args.data, args.particles)
+    bag = Bag.load(os.path.join(args.data, f"{args.bag}.npz"))
+    make_node, meta = make_node_factory(
+        args.data, args.particles, name=args.bag
+    )
 
     if not args.no_prewarm and jax.default_backend() != "cpu":
         # throwaway drive to fill the persistent compile cache: every
@@ -125,6 +130,7 @@ def main():
         if r["first_converged_stamp"] is not None
     ]
     summary = {
+        "bag": args.bag,
         "workload": "city drive "
         f"({meta['drive_len_m']:.0f} m, {meta['steps']} scans, "
         f"{meta['hw']}px map @ {meta['scale_px_m']} px/m)",

@@ -132,8 +132,17 @@ def make_drive(ys, xs, n_steps, step_px, seed=0):
 
 
 def scan_at(maps, gt_px, psi, scale, max_range_m, n_pad, rng,
-            noise_m=0.15, label_noise=0.02, per_class_cap=2048):
-    """LiDAR-like body-frame semantic points around gt (x,y,z,class)."""
+            noise_m=0.15, label_noise=0.02, per_class_cap=2048,
+            realism=False):
+    """LiDAR-like body-frame semantic points around gt (x,y,z,class).
+
+    realism=True breaks the inverse crime of sampling map pixels
+    directly (the sensor model would otherwise be perfectly matched to
+    the map up to noise): building returns only at facades (a LiDAR
+    sees walls, not roofs), occlusion ray-casting (points behind a
+    building are dropped), partial vegetation transparency, heavier
+    label confusion, and range-dependent dropout - the systematic
+    scan-vs-aerial-map domain gaps of the reference's real workload."""
     c = maps.shape[0]
     r_px = int(max_range_m * scale) + 2
     x0 = max(0, int(gt_px[0]) - r_px)
@@ -141,8 +150,22 @@ def scan_at(maps, gt_px, psi, scale, max_range_m, n_pad, rng,
     sub = maps[:, y0 : y0 + 2 * r_px, x0 : x0 + 2 * r_px]
     r_inv = rot2d(-psi)
     pts = []
+    building = None
+    if realism:
+        # facade mask: building cells adjacent to non-building
+        b = sub[2] == 0
+        interior = b.copy()
+        interior[1:-1, 1:-1] = (
+            b[1:-1, 1:-1] & b[:-2, 1:-1] & b[2:, 1:-1]
+            & b[1:-1, :-2] & b[1:-1, 2:]
+        )
+        facade = b & ~interior
+        building = b
     for cls in range(c):
-        ysn, xsn = np.nonzero(sub[cls] == 0)
+        grid = sub[cls] == 0
+        if realism and cls == 2:
+            grid = facade
+        ysn, xsn = np.nonzero(grid)
         if len(ysn) > per_class_cap:
             sel = rng.choice(len(ysn), per_class_cap, replace=False)
             ysn, xsn = ysn[sel], xsn[sel]
@@ -152,14 +175,40 @@ def scan_at(maps, gt_px, psi, scale, max_range_m, n_pad, rng,
         ) / scale
         r = np.linalg.norm(d, axis=1)
         keep = (r < max_range_m) & (r > 0.5)
-        pb = (r_inv @ d[keep].T).T
+        if realism:
+            if cls == 3:  # vegetation: partially transparent canopy
+                keep &= rng.random(len(r)) < 0.7
+            # range-dependent dropout (beam divergence / sparsity)
+            keep &= rng.random(len(r)) > 0.5 * (r / max_range_m) ** 2
+        d, r = d[keep], r[keep]
+        if realism and building is not None and len(d):
+            # occlusion: sample the ray at ~1.5 px steps; drop the
+            # point if any building cell lies strictly before it
+            # (facades themselves survive: the test stops 2 px short)
+            n_steps = 24
+            tgrid = np.linspace(0.08, 1.0, n_steps)[None, :]
+            px_end = (d * scale)  # offsets in px
+            rx = gt_px[0] - x0 + px_end[:, 0:1] * tgrid
+            ry = gt_px[1] - y0 + px_end[:, 1:2] * tgrid
+            stop = np.maximum(
+                (np.linalg.norm(px_end, axis=1) - 2.5)
+                / np.maximum(np.linalg.norm(px_end, axis=1), 1e-6),
+                0.0,
+            )[:, None]
+            before = tgrid < stop
+            ih = np.clip(ry.astype(np.int64), 0, building.shape[0] - 1)
+            iw = np.clip(rx.astype(np.int64), 0, building.shape[1] - 1)
+            blocked = (building[ih, iw] & before).any(axis=1)
+            d = d[~blocked]
+        pb = (r_inv @ d.T).T
         pb = pb + rng.standard_normal(pb.shape) * noise_m
         lab = np.full((pb.shape[0], 1), cls, np.float64)
         pts.append(
             np.concatenate([pb, np.zeros_like(lab), lab], axis=1)
         )
     pts = np.concatenate(pts)
-    flip = rng.random(len(pts)) < label_noise
+    ln = label_noise * (4.0 if realism else 1.0)
+    flip = rng.random(len(pts)) < ln
     pts[flip, 3] = rng.integers(0, c, int(flip.sum()))
     if len(pts) > n_pad:
         pts = pts[rng.choice(len(pts), n_pad, replace=False)]
@@ -171,7 +220,7 @@ def scan_at(maps, gt_px, psi, scale, max_range_m, n_pad, rng,
 def make_bag(maps, traj_px, psi, scale, dt=0.2, max_range_m=50.0,
              n_pad=8192, seed=0, odom_pos_noise=0.03,
              odom_yaw_noise=0.002, gps_noise_m=2.0,
-             origin_latlon=(39.95, -75.16)):
+             origin_latlon=(39.95, -75.16), realism=False):
     from top_down_renderer_tpu.io import Bag
     from top_down_renderer_tpu.io.replay import EARTH_R
 
@@ -209,7 +258,7 @@ def make_bag(maps, traj_px, psi, scale, dt=0.2, max_range_m=50.0,
     for i in range(len(t)):
         scans.append(
             scan_at(maps, traj_px[i], psi[i], scale, max_range_m,
-                    n_pad, rng)
+                    n_pad, rng, realism=realism)
         )
         offs.append(offs[-1] + n_pad)
     return Bag(
@@ -246,17 +295,22 @@ def main():
     ap.add_argument("--dt", type=float, default=0.2)
     ap.add_argument("--scale", type=float, default=2.0)  # px/m
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--realism", action="store_true",
+                    help="occlusion + facade-only buildings + dropout "
+                    "(breaks the sample-the-map inverse crime); writes "
+                    "city_hard.* instead of city.*")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    name = "city_hard" if args.realism else "city"
     maps, ys, xs = make_city(args.hw, args.hw, args.seed)
     step_px = args.speed * args.dt * args.scale
     traj, psi = make_drive(ys, xs, args.steps, step_px, args.seed)
     bag = make_bag(maps, traj, psi, args.scale, dt=args.dt,
-                   seed=args.seed)
-    bag.save(os.path.join(args.out, "city.npz"))
-    save_world_png(maps, os.path.join(args.out, "city.png"))
-    with open(os.path.join(args.out, "city_meta.json"), "w") as f:
+                   seed=args.seed, realism=args.realism)
+    bag.save(os.path.join(args.out, f"{name}.npz"))
+    save_world_png(maps, os.path.join(args.out, f"{name}.png"))
+    with open(os.path.join(args.out, f"{name}_meta.json"), "w") as f:
         json.dump(
             {
                 "hw": args.hw, "steps": args.steps, "dt": args.dt,
@@ -268,9 +322,10 @@ def main():
                 ),
                 "classes": CLASS_NAMES,
                 "colors": CLASS_COLORS,
+                "realism": args.realism,
             }, f, indent=1,
         )
-    print("bag:", os.path.join(args.out, "city.npz"),
+    print("bag:", os.path.join(args.out, f"{name}.npz"),
           "steps:", len(traj))
 
 

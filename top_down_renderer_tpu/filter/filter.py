@@ -1146,6 +1146,7 @@ class ParticleFilter:
             self._all_have_init = True
             self._last_omega = 0.0
             self._last_dist_m = 0.0
+            self._prefetch_dispatch_state()
             return
         fast = self._fast_mode(float(res))
         if fast is not None and fast[3] == "multi":
@@ -1181,6 +1182,22 @@ class ParticleFilter:
         self._all_have_init = True
         self._last_omega = 0.0
         self._last_dist_m = 0.0
+        self._prefetch_dispatch_state()
+
+    def _prefetch_dispatch_state(self) -> None:
+        """Start async device->host copies of the tiny arrays the next
+        step's dispatch reads (_fast_mode: bbox/smask/scale), so the
+        host decision overlaps this step's tail instead of paying a
+        fresh blocking round-trip (the reads still order after the
+        step's collectives - the variant choice needs the real data)."""
+        st = self.state
+        try:
+            st.bbox.copy_to_host_async()
+            st.smask.copy_to_host_async()
+            if self.params.fixed_scale <= 0:
+                st.particles.scale.copy_to_host_async()
+        except AttributeError:
+            pass  # non-jax arrays (tests stubbing state)
 
     # -- queries (particle_filter.h:29-41) -----------------------------
     def mean_likelihood(self) -> np.ndarray:
