@@ -97,7 +97,7 @@ def _pf_loop(maps, n_particles, steps, scale=2.0, res=1.0, seed=0,
     psi = 0.0
     flut = np.arange(256, dtype=np.int32)
     errs = []
-    t_total = 0.0
+    step_s = []
     for step in range(steps):
         pts = generate_scan_points(
             maps, gt, psi, scale, 25.0, 8192, seed=step
@@ -111,16 +111,20 @@ def _pf_loop(maps, n_particles, steps, scale=2.0, res=1.0, seed=0,
         pf.propagate(np.array([1.0, 0.0], np.float32), 0.0)
         pf.update(scan, res)
         jax.block_until_ready(pf.state.particles.weight)
-        if step > 0:  # step 0 compiles
-            t_total += time.perf_counter() - t0
+        step_s.append(time.perf_counter() - t0)
         gt = gt + (rot2d(psi) @ np.array([1.0, 0.0])) * scale
         ml = pf.mean_likelihood()
         errs.append(float(np.linalg.norm(ml[:2] - gt)))
         if extra_cb:
             extra_cb(pf)
-    # exclude the first (compile) step from throughput
+    # median step time: robust to the compile spikes each regime
+    # transition (new conv region/window variant) injects mid-run -
+    # the stabilized-regime throughput, with the end-to-end wall kept
+    # alongside
+    med = float(np.median(step_s[1:] if len(step_s) > 1 else step_s))
     return {
-        "steps_per_s": round((steps - 1) / max(t_total, 1e-9), 2),
+        "steps_per_s": round(1.0 / max(med, 1e-9), 2),
+        "wall_s": round(float(np.sum(step_s)), 1),
         "final_err_px": round(errs[-1], 2),
         "min_err_px": round(min(errs), 2),
     }
@@ -180,7 +184,7 @@ def config4():
         d, t = state["al"].get_best_rel_pos(means)
         state["calls"] += 1
 
-    out = _pf_loop(maps, 102400, 8, extra_cb=cb)
+    out = _pf_loop(maps, 102400, 16, extra_cb=cb)
     return {
         "config": 4, "particles": 102400,
         "active_loc_calls": state["calls"], **out,
