@@ -143,12 +143,95 @@ def main():
 
     t_tail = timeit(tail, state, reps=30)
 
-    print(f"build  {t_build:7.3f} ms")
-    print(f"fold   {t_fold:7.3f} ms")
-    print(f"field  {t_field:7.3f} ms")
-    print(f"score  {t_score:7.3f} ms  (build+fold+field+reads)")
-    print(f"tail   {t_tail:7.3f} ms")
-    print(f"step   {t_step:7.3f} ms  -> {1000.0 / t_step:.1f} steps/s")
+    # --- tail sub-stages ---
+    from top_down_renderer_tpu.filter.filter import (
+        postprocess_weights,
+        pose_bbox,
+        update_tail,
+    )
+    from top_down_renderer_tpu.filter import gmm as gmm_mod
+    from top_down_renderer_tpu.filter.resample import systematic_resample
+    from top_down_renderer_tpu.filter.scoring import (
+        rotation_shift,
+        shift_mask,
+    )
+
+    w_raw = jax.jit(
+        lambda cj: 1.0 / (cj + 0.02)
+    )(costj)
+
+    post = jax.jit(
+        lambda w: postprocess_weights(
+            w, p.last_dist, p.alive, state.n_active
+        )
+    )
+    t_post = timeit(post, w_raw)
+    w_n = post(w_raw)
+
+    key = jax.random.PRNGKey(7)
+    rs = jax.jit(
+        lambda w, k: systematic_resample(p, w, state.n_active,
+                                         state.n_active, k)
+    )
+    t_rs = timeit(rs, w_n, key)
+
+    g = jax.jit(
+        lambda k: gmm_mod.compute_gmm(p, state.n_active, state.gmm.k, k)
+    )
+    t_gmm = timeit(g, key)
+
+    sm = jax.jit(
+        lambda th_: shift_mask(
+            rotation_shift(th_, theta_bins), p.alive, theta_bins
+        )
+    )
+    t_sm = timeit(sm, p.theta)
+    bb = jax.jit(lambda _: pose_bbox(p))
+    t_bb = timeit(bb, 0)
+    ml = jax.jit(lambda w: p.ml_state()[jnp.argmax(w)])
+    t_ml = timeit(ml, w_n)
+
+    # --- field as explicit im2col matmul (conv-efficiency probe) ---
+    dr, dc = cs.conv_dims(mo)
+    f4 = cs.F_S2D
+    dye, dxe = cs.s2d_extent(dr), cs.s2d_extent(dc)
+    nyb = region // f4 + 1
+
+    @jax.jit
+    def field_mm(m4, k4):
+        block = jax.lax.dynamic_slice(
+            m4, (100, 100, 0),
+            (nyb + dye - 1, nyb + dxe - 1, 128),
+        )
+        pat = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    block, (dy, dx, 0), (nyb, nyb, 128)
+                )
+                for dy in range(dye)
+                for dx in range(dxe)
+            ],
+            axis=2,
+        ).reshape(nyb * nyb, dye * dxe * 128)
+        kf = k4.reshape(dye * dxe * 128, -1)
+        return jnp.dot(pat, kf, preferred_element_type=jnp.float32)
+
+    k4 = jax.jit(cs.fold_kernel_s2d)(kernel)
+    t_field_mm = timeit(field_mm, maps.padded4d, k4)
+
+    print(f"build    {t_build:7.3f} ms")
+    print(f"fold     {t_fold:7.3f} ms")
+    print(f"field    {t_field:7.3f} ms")
+    print(f"fieldMM  {t_field_mm:7.3f} ms  (im2col matmul probe)")
+    print(f"score    {t_score:7.3f} ms  (build+fold+field+reads)")
+    print(f"tail     {t_tail:7.3f} ms")
+    print(f"  post   {t_post:7.3f} ms")
+    print(f"  resamp {t_rs:7.3f} ms")
+    print(f"  gmm    {t_gmm:7.3f} ms (amortized /{10}: {t_gmm/10:.3f})")
+    print(f"  smask  {t_sm:7.3f} ms")
+    print(f"  bbox   {t_bb:7.3f} ms")
+    print(f"  mlst   {t_ml:7.3f} ms")
+    print(f"step     {t_step:7.3f} ms  -> {1000.0 / t_step:.1f} steps/s")
 
 
 if __name__ == "__main__":

@@ -278,15 +278,29 @@ def cost_field_s2d(
         (ys4, xs4, 0),
         (nyb + dye - 1, nxb + dxe - 1, f * f * C_PAD),
     )
-    out = jax.lax.conv_general_dilated(
-        block[None],
-        k4,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    # explicit im2col + ONE matmul instead of conv_general_dilated:
+    # XLA's spatial-conv lowering runs this tiny-spatial / huge-channel
+    # shape at ~5% MXU efficiency (measured 2.36 ms vs 1.62 ms for the
+    # matmul formulation at region 128 / mo 24); the static tap slices
+    # stack into (nyb*nxb, dye*dxe*128) patches whose column order
+    # matches k4's (dy, dx, channel) reshape
+    pat = jnp.stack(
+        [
+            jax.lax.slice(
+                block, (dy, dx, 0),
+                (dy + nyb, dx + nxb, f * f * C_PAD),
+            )
+            for dy in range(dye)
+            for dx in range(dxe)
+        ],
+        axis=2,
+    ).reshape(nyb * nxb, dye * dxe * f * f * C_PAD)
+    out = jnp.dot(
+        pat,
+        k4.reshape(dye * dxe * f * f * C_PAD, -1),
         preferred_element_type=jnp.float32,
     )
-    return out[0], roy, rox
+    return out.reshape(nyb, nxb, -1), roy, rox
 
 
 @functools.partial(

@@ -279,11 +279,19 @@ def make_update_step_fast(
     region: int = 128,
     window_w: int = 100,
     mip: int = 1,
+    fused: bool | None = None,
 ):
     """Update using a fast scoring path (uniform scale): a jitted scoring
     stage + the shared jitted tail (two dispatches; both stay on device).
     res and scale are traced (f = scale*res changes without recompile);
     only the crop bucket mo (and conv region) are static.
+
+    fused=True compiles scoring + tail as ONE jit: one dispatch less
+    per step and XLA schedules the tail's small reductions against the
+    scoring epilogue.  Default: fused for path="conv" (the converged
+    serving regime, few variants) and split for "crop" (exploration
+    transients hit many first-touch variants; the shared tail keeps
+    each of those compiles small).
 
     path="crop": Pallas per-particle crop DMA kernel - any spatial
     spread.  path="conv": one XLA conv cost-field over the particle
@@ -300,8 +308,10 @@ def make_update_step_fast(
     from top_down_renderer_tpu.filter import pallas_score as ps
     from top_down_renderer_tpu.filter import conv_score as cs
 
+    if fused is None:
+        fused = path == "conv"
     class_weights = _pad_class_weights(params, grid_num_classes)
-    if tail_fn is None:
+    if not fused and tail_fn is None:
         tail_fn = make_tail_fn(
             params, n_max, k_max, gmm_every, theta_bins
         )
@@ -311,8 +321,7 @@ def make_update_step_fast(
             window_w=window_w,
         )
 
-    @jax.jit
-    def score(
+    def score_impl(
         particles: Particles,
         maps,
         stencil: jnp.ndarray,
@@ -352,6 +361,52 @@ def make_update_step_fast(
         costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
         # host only selects this mode when NO particle has init
         return select_init_cost(costs, params.num_rot_search)
+
+    if fused:
+
+        @jax.jit
+        def step(
+            state: FilterState,
+            maps,
+            map_size_scaled: jnp.ndarray,
+            stencil: jnp.ndarray,
+            scan: jnp.ndarray,
+            res: jnp.ndarray,
+            s0: jnp.ndarray,
+        ) -> FilterState:
+            cost, new_theta = score_impl(
+                state.particles, maps, stencil, scan, res, s0
+            )
+            p = state.particles.replace(
+                theta=new_theta,
+                have_init=jnp.ones_like(state.particles.have_init),
+            )
+            w_raw = weight_from_cost(
+                cost, p, params, map_size_scaled
+            )
+            return update_tail(
+                state, p, w_raw, n_max, k_max, gmm_every, theta_bins
+            )
+
+        def update(
+            state: FilterState,
+            maps,
+            map_size_scaled: jnp.ndarray,
+            stencil: jnp.ndarray,
+            scan: jnp.ndarray,
+            res: jnp.ndarray,
+            f_host: float | None = None,
+            s0: int = 0,
+        ) -> FilterState:
+            del f_host
+            return step(
+                state, maps, map_size_scaled, stencil, scan, res,
+                jnp.asarray(s0, jnp.int32),
+            )
+
+        return update
+
+    score = jax.jit(score_impl)
 
     def update(
         state: FilterState,

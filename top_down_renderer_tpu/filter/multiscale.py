@@ -17,8 +17,9 @@ Scale buckets are just MORE VARIANTS:
      slots (greedy 1-D clustering with relative tolerance SCALE_RTOL;
      at init the population is exactly the 10 discrete hypotheses, so
      clustering is exact).
-  2. Build M per (bucket, rx[, shift-group]) at the bucket's effective
-     f_eff = slot*res/mip in one vmapped kernel-build.
+  2. Build M per bucket[, shift-group] at the bucket's effective
+     f_eff = slot*res/mip in one vmapped kernel-build (the x-residual
+     is handled by an in-kernel crop rotate, not an M variant axis).
   3. Per-bucket mip levels ride a PYRAMID of the stacked DMA map
      (levels concatenated along rows); a particle's crop origin is
      offset into its bucket's level.  One kernel invocation scores
@@ -204,21 +205,22 @@ def _origins_pyramid(
 
 
 def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot):
-    """(K*RX, 128, Kext): bucket-major variant table for the
-    theta-search mode.  f_eff: (K,) effective scale*res/mip per bucket."""
+    """(K, 128, Kext): one theta-search M per bucket (the kernel
+    handles the x-residual by rotating the crop).  f_eff: (K,)
+    effective scale*res/mip per bucket."""
     m = jax.vmap(
         lambda f: build_m_init(
             scan, class_weights, stencil, f, mo, num_rot
         )
-    )(f_eff)  # (K, RX, 128, k)
+    )(f_eff)  # (K, 1, 128, k)
     return m.reshape(-1, *m.shape[2:])
 
 
 def build_m_tracked_multi(scan, class_weights, stencil, f_eff, mo):
-    """(K*RX*N_GROUPS, 64, Kext): bucket-major tracked variant table."""
+    """(K*N_GROUPS, 64, Kext): tracked variant table, bucket-major."""
     m = jax.vmap(
         lambda f: build_m_tracked(scan, class_weights, stencil, f, mo)
-    )(f_eff)  # (K, RX*N_GROUPS, 64, k)
+    )(f_eff)  # (K, N_GROUPS, 64, k)
     return m.reshape(-1, *m.shape[2:])
 
 
@@ -311,8 +313,9 @@ def make_score_tracked_multi(
         ry, y8, xe, rx, in_range = _origins_pyramid(
             center_px, bucket, pyr, bucket_mip_idx, mo, map_resolution
         )
+        # variant(bucket, g)-major key (kernel: divmod(key, RX))
         key = (
-            (bucket * RX + rx) * N_GROUPS + g
+            (bucket * N_GROUPS + g) * RX + rx
         ).astype(jnp.int32)
         pos, tile_midx, n_pad = ps._group_layout(
             key, n_buckets * RX * N_GROUPS, p_tile

@@ -16,8 +16,10 @@ the problem around dense DMA + MXU matmul:
   2. Mosaic constrains DMA slice starts to the (8, 128) tiling:
        - y residual (mod 8): handled by 8 row-shifted copies of the map
          stacked on a leading dim the DMA indexes dynamically.
-       - x residual (mod 16 px = 128 lanes): handled by 16 row-shifted
-         M variants (a shift of x by rx px shifts M's K-rows by rx*8).
+       - x residual (mod 16 px = 128 lanes): handled by an in-kernel
+         per-row lane-rotate of the crop by rx*8 (the last 16 px of
+         every crop row map to all-zero M coefficients, so the rotate's
+         wrap garbage is inert).
   3. Columns are windowed so cost + normalization + known-count fit one
      matmul: particles are sorted by (x-residual, shift-group) and each
      tile selects its M variant via scalar prefetch.  In tracked mode a
@@ -87,13 +89,14 @@ def crop_dims(mo: int):
 
 
 def tracked_p_tile(mo: int) -> int:
-    # VMEM: 2x double-buffered crops + resident M(64, K) <= ~14 MB
-    return {12: 128, 24: 64}[mo]
+    # VMEM: 2x double-buffered crops + rolled copy + resident M(64, K)
+    # < 16 MB (larger is better: per-tile grid overhead is ~2.7 us)
+    return {12: 128, 24: 48}[mo]
 
 
 def init_p_tile(mo: int) -> int:
     # init-flavor M is 128-wide; smaller tiles (init steps are one-off)
-    return {12: 64, 24: 32}[mo]
+    return {12: 64, 24: 24}[mo]
 
 
 from flax import struct
@@ -241,11 +244,13 @@ def build_m_tracked(
     f,
     mo: int,
 ) -> jnp.ndarray:
-    """(RX*N_GROUPS, 64, K) bf16 variants for tracked mode, transposed
-    so the kernel's manual M DMA slices along the 128-aligned K minor.
+    """(N_GROUPS, 64, K) bf16 variants for tracked mode, transposed so
+    the kernel's manual M DMA slices along the 128-aligned K minor.
 
-    Variant (rx, g) columns: [0:16) cost at shifts [16g, 16g+16),
-    [16:32) norm at the same shifts, [32] known count."""
+    Variant g columns: [0:16) cost at shifts [16g, 16g+16), [16:32)
+    norm at the same shifts, [32] known count.  The x-residual is NOT a
+    variant axis: the kernel lane-rotates each crop tile instead (16x
+    less M build/memory/DMA)."""
     c, th, r = scan.shape
     dr, dc = crop_dims(mo)
     k = dr * dc * C_PAD
@@ -264,16 +269,7 @@ def build_m_tracked(
         jnp.moveaxis(cost_circ[:, cols], 1, 0),  # (7, TR*C, 16)
         jnp.moveaxis(norm_circ[:, cols], 1, 0),  # (7, TR, 16)
     )  # (7, 64, Kext)
-
-    # 16 rx variants are static minor-axis rolls: shifting x by rx px
-    # shifts K-rows by rx*8; wrapped tail rows are zero padding
-    m = jnp.stack(
-        [
-            jnp.roll(base_t, rx * C_PAD, axis=2)[:, :, :k]
-            for rx in range(RX)
-        ]
-    )  # (16, 7, 64, K)
-    return m.reshape(RX * N_GROUPS, 64, k)
+    return base_t[:, :, :k]
 
 
 def build_m_init(
@@ -284,8 +280,10 @@ def build_m_init(
     mo: int,
     num_rot: int = 40,
 ) -> jnp.ndarray:
-    """(RX, 128, K) bf16 for the theta-search mode: cols [0:num_rot)
-    cost at the search shifts, [num_rot:2*num_rot) norm, [2*num_rot] kf."""
+    """(1, 128, K) bf16 for the theta-search mode: cols [0:num_rot)
+    cost at the search shifts, [num_rot:2*num_rot) norm, [2*num_rot]
+    kf.  Single variant - the kernel handles the x-residual by rotating
+    the crop."""
     c, th, r = scan.shape
     dr, dc = crop_dims(mo)
     k = dr * dc * C_PAD
@@ -296,42 +294,84 @@ def build_m_init(
     base_t = _build_base_t(
         mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128
     )  # (128, Kext)
-    m = jnp.stack(
-        [
-            jnp.roll(base_t, rx * C_PAD, axis=1)[:, :k]
-            for rx in range(RX)
-        ]
-    )
-    return m  # (RX, 128, K)
+    return base_t[None, :, :k]  # (1, 128, K)
 
 
 def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
     out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
-    *, mo: int, p_tile: int,
+    *, mo: int, p_tile: int, db_m: bool, interp: bool = False,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
-    semaphore (DMA semaphores count bytes).  M is single-buffered and
-    refetched only when the variant changes (particles are sorted by
-    variant)."""
+    semaphore (DMA semaphores count bytes).
+
+    db_m=False: M is single-buffered and refetched (with a stall) only
+    when the variant changes - right when variants are wide (the
+    128-col init M doesn't fit VMEM twice) or runs per variant are long.
+    db_m=True: M is double-buffered like the crops - tile i prefetches
+    tile i+1's variant into the other slot while computing.  prev_idx
+    is (4,) SMEM: [held_slot0, held_slot1, pending_slot0,
+    pending_slot1].
+
+    The sort key packs (variant, x-residual): midx_ref holds
+    key = variant * RX + rx per tile (tiles are key-uniform by
+    construction, _group_layout).  The kernel selects M by variant and
+    LANE-ROTATES the crop tile left by rx*8 in VMEM - equivalent to the
+    old 16 pre-rolled M variants (the last 16 px of every crop row are
+    zero rows of M, so the per-row rotate's wrap garbage lands on zero
+    coefficients) but with 16x less M memory/build/DMA, which is what
+    made K-bucket multi-scale tracked M builds blow past HBM."""
     dr, dc = crop_dims(mo)
     dc8 = dc * C_PAD
-    crop_bytes = p_tile * dr * dc8 * 2  # bf16
     i_tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
-    midx = midx_ref[i_tile]
+    key_t = midx_ref[i_tile]
+    midx = key_t // RX
+    rx8 = jax.lax.rem(key_t, RX) * C_PAD
     slot = jax.lax.rem(i_tile, 2)
     nslot = jax.lax.rem(i_tile + 1, 2)
 
-    def m_dma():
-        return pltpu.make_async_copy(m_hbm_ref.at[midx], m_buf, m_sem)
+    if db_m:
+        midx_next = (
+            midx_ref[jnp.minimum(i_tile + 1, n_tiles - 1)] // RX
+        )
 
-    need_m = (i_tile == 0) | (midx != prev_idx[0])
+        def m_dma(var_idx, s):
+            return pltpu.make_async_copy(
+                m_hbm_ref.at[var_idx], m_buf.at[s], m_sem.at[s]
+            )
 
-    @pl.when(need_m)
-    def _():
-        m_dma().start()
+        @pl.when(i_tile == 0)
+        def _():
+            m_dma(midx, 0).start()
+            prev_idx[0] = midx
+            prev_idx[1] = -1
+            prev_idx[2] = 1
+            prev_idx[3] = 0
+
+        need_next = (i_tile + 1 < n_tiles) & (
+            prev_idx[nslot] != midx_next
+        )
+
+        @pl.when(need_next)
+        def _():
+            m_dma(midx_next, nslot).start()
+            prev_idx[nslot] = midx_next
+            prev_idx[2 + nslot] = 1
+
+    else:
+
+        def m_dma0():
+            return pltpu.make_async_copy(
+                m_hbm_ref.at[midx], m_buf, m_sem
+            )
+
+        need_m = (i_tile == 0) | (midx != prev_idx[0])
+
+        @pl.when(need_m)
+        def _():
+            m_dma0().start()
 
     def dma(orig, i, s):
         # origins store y8/8 and xe/128: multiplying in-kernel lets
@@ -363,28 +403,60 @@ def _kernel(
             0, unroll=True,
         )
 
-    @pl.when(need_m)
-    def _():
-        m_dma().wait()
+    if db_m:
 
-    prev_idx[0] = midx
+        @pl.when(prev_idx[2 + slot] == 1)
+        def _():
+            pltpu.make_async_copy(
+                m_hbm_ref.at[prev_idx[slot]], m_buf.at[slot],
+                m_sem.at[slot],
+            ).wait()
+            prev_idx[2 + slot] = 0
+
+    else:
+
+        @pl.when(need_m)
+        def _():
+            m_dma0().wait()
+
+        prev_idx[0] = midx
     # one batched wait for all of this slot's crop bytes: a synthetic
     # descriptor over the whole slot buffer waits for the same byte
     # count the p_tile individual DMAs signalled on the shared sem
     pltpu.make_async_copy(
         crop_buf.at[slot], crop_buf.at[slot], sems.at[slot]
     ).wait()
-    flat = crop_buf[slot].reshape(p_tile, dr * dc8)
+    # x-residual alignment: rotate each crop row left by rx*8 lanes
+    # (wrap lands on always-zero M columns, see docstring).  Mosaic's
+    # dynamic lane rotate only supports 32-bit data; the free bitcast
+    # to an i32 view (sublane pairing - lane indices preserved) rotates
+    # both packed bf16 rows identically, which IS the per-row minor
+    # rotate.  Interpret mode emulates with the f32 round-trip instead
+    # (same semantics, no packed-layout emulation dependency).
+    if interp:
+        rolled = pltpu.roll(
+            crop_buf[slot].astype(jnp.float32),
+            jax.lax.rem(dc8 - rx8, dc8),
+            2,
+        ).astype(jnp.bfloat16)
+    else:
+        ci = pltpu.bitcast(crop_buf[slot], jnp.int32)
+        rolled = pltpu.bitcast(
+            pltpu.roll(ci, jax.lax.rem(dc8 - rx8, dc8), 2),
+            jnp.bfloat16,
+        )
+    flat = rolled.reshape(p_tile, dr * dc8)
     out_ref[...] = jax.lax.dot_general(
         flat,
-        m_buf[...],
+        m_buf[slot] if db_m else m_buf[...],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mo", "p_tile", "s_cols", "interpret")
+    jax.jit,
+    static_argnames=("mo", "p_tile", "s_cols", "interpret", "db_m"),
 )
 def _run_kernel(
     stacked: jnp.ndarray,
@@ -395,6 +467,7 @@ def _run_kernel(
     p_tile: int,
     s_cols: int,
     interpret: bool = False,
+    db_m: bool = False,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     n_tiles = n_pad // p_tile
@@ -420,14 +493,18 @@ def _run_kernel(
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.bfloat16),
-            pltpu.VMEM((s_cols, k), jnp.bfloat16),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM(
+                (2, s_cols, k) if db_m else (s_cols, k), jnp.bfloat16
+            ),
+            pltpu.SMEM((4,) if db_m else (1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,) if db_m else ()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         )
     return pl.pallas_call(
-        functools.partial(_kernel, mo=mo, p_tile=p_tile),
+        functools.partial(
+            _kernel, mo=mo, p_tile=p_tile, db_m=db_m, interp=interpret
+        ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
         interpret=interpret,
@@ -503,7 +580,9 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
         ry, y8, xe, rx, in_range = _origins(
             center_px, maps, mo, map_resolution
         )
-        key = (rx * N_GROUPS + g).astype(jnp.int32)
+        # variant(g)-major key: same-variant tiles run contiguously and
+        # the kernel derives (variant, rx) = divmod(key, RX)
+        key = (g * RX + rx).astype(jnp.int32)
         pos, tile_midx, n_pad = _group_layout(
             key, RX * N_GROUPS, p_tile
         )
