@@ -34,7 +34,7 @@ def main():
     import __graft_entry__ as ge
 
     n = int(os.environ.get("BENCH_N", 102400))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
     hw = int(os.environ.get("BENCH_MAP", 1024))
     chunk = int(os.environ.get("BENCH_CHUNK", 4096))
     # converged-regime operating point: fixed scale 2 px/m, range res
@@ -175,8 +175,16 @@ def main():
             st.scale_frozen,
         )
     )
+    # the fused conv step folds propagate into the same dispatch
+    fused_motion = (not exact) and (not multi) and path == "conv"
+    motion_j = jnp.asarray([1.0, 0.0, 0.01, 1.0, 1.0], jnp.float32)
 
     def full_step(state, scan):
+        if fused_motion:
+            return update(
+                state, map_arg, map_size, stencil, scan, res,
+                f_host=scale * res_v, s0=s0, motion=motion_j,
+            )
         key, sub = jax.random.split(state.key)
         parts = prop(state, sub)
         st = state.replace(particles=parts, key=key)

@@ -121,6 +121,90 @@ def _searched_cost_norm(scan, class_weights, num_rot):
     return cost_cols, norm_cols
 
 
+def _cost_norm_cols(scan, class_weights, mode, num_rot, window_w, s0):
+    if mode == "tracked":
+        return _windowed_cost_norm(scan, class_weights, s0, window_w)
+    return _searched_cost_norm(scan, class_weights, num_rot)
+
+
+def build_conv_kernel_s2d(
+    scan: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    stencil: jnp.ndarray,
+    f,
+    mo: int,
+    mode: str,
+    num_rot: int = 40,
+    window_w: int = 100,
+    s0=0,
+) -> jnp.ndarray:
+    """Build the FOLDED (dye, dxe, 128, 16*s_out) bf16 kernel directly:
+    per-phase one-hot matmuls place each stencil cell straight into its
+    space-to-depth slot, skipping the unfolded kernel + the 16-slice
+    fold relayout (fold_kernel_s2d).
+
+    MEASURED SLOWER than build+fold on v5e (8.42 vs 6.55 ms full step
+    at mo 24 / ww 16): the 16 narrow per-phase matmuls and the final
+    5-D transpose lose more than the fold relayout costs.  Kept as the
+    reference formulation for revisiting with a Pallas build kernel;
+    the scorer uses build_conv_kernel + cost_field_s2d."""
+    from top_down_renderer_tpu.filter.pallas_score import C_PAD
+
+    c, th, r = scan.shape
+    dr, dc = conv_dims(mo)
+    dye, dxe = s2d_extent(dr), s2d_extent(dc)
+    n4 = dye * dxe * 16
+    off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
+    a = off[:, 0] + dr // 2  # kernel row per stencil point
+    b = off[:, 1] + dc // 2
+    cost_cols, norm_cols = _cost_norm_cols(
+        scan, class_weights, mode, num_rot, window_w, s0
+    )
+    s_out = (
+        2 * window_w + 1 if mode == "tracked" else 2 * num_rot + 1
+    )
+    tr = a.shape[0]
+
+    # shared lhs: channels < c carry cost, channel c carries norm + kf
+    circ2 = jnp.zeros((tr, C_PAD, s_out), jnp.float32)
+    n_cost = cost_cols.shape[1]
+    n_norm = norm_cols.shape[1]
+    circ2 = circ2.at[:, :c, :n_cost].set(
+        cost_cols.reshape(tr, c, n_cost)
+    )
+    circ2 = circ2.at[:, c, n_cost : n_cost + n_norm].set(norm_cols)
+    circ2 = circ2.at[:, c, n_cost + n_norm].set(1.0)
+    lhs = (
+        circ2.transpose(1, 2, 0)
+        .reshape(C_PAD * s_out, tr)
+        .astype(jnp.bfloat16)
+    )
+
+    parts = []
+    for py in range(F_S2D):
+        dy_ = a + py
+        for px in range(F_S2D):
+            dx_ = b + px
+            cell = (
+                ((dy_ // F_S2D) * dxe + dx_ // F_S2D) * 16
+                + (dy_ % F_S2D) * F_S2D
+                + dx_ % F_S2D
+            )  # (TR,)
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (1, n4), 1)
+            onehot = (cell[:, None] == kidx).astype(jnp.bfloat16)
+            parts.append(
+                jnp.dot(lhs, onehot, preferred_element_type=jnp.float32)
+            )  # (C_PAD*s_out, n4)
+    y = jnp.stack(parts, axis=0)  # (16p, C_PAD*s_out, n4)
+    k4 = (
+        y.reshape(16, C_PAD, s_out, dye * dxe, 16)
+        .transpose(3, 4, 1, 0, 2)  # (DYDX, qq, cc, p, ss)
+        .reshape(dye, dxe, 16 * C_PAD, 16 * s_out)
+        .astype(jnp.bfloat16)
+    )
+    return k4
+
+
 def build_conv_kernel(
     scan: jnp.ndarray,
     class_weights: jnp.ndarray,
@@ -249,26 +333,20 @@ def fold_kernel_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(phases, axis=3)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mo", "region", "s_out")
-)
-def cost_field_s2d(
+def cost_field_s2d_k4(
     map4: jnp.ndarray,
-    kernel: jnp.ndarray,
+    k4: jnp.ndarray,
     origin_yx: jnp.ndarray,
     mo: int,
     region: int,
     s_out: int,
 ):
-    """Folded-phase cost field.  Returns (out4 (nYb, nXb, 16*s_out) f32,
-    roy, rox): the center at padded (origin_y + iy, origin_x + ix) lives
-    at j = iy + roy, Yb = j // 4, py = j % 4 (same for x), channel
-    (py*4 + px)*s_out + s."""
+    """cost_field_s2d with the folded kernel already built (the direct
+    build_conv_kernel_s2d path)."""
     dr, dc = conv_dims(mo)
     f = F_S2D
     dye, dxe = s2d_extent(dr), s2d_extent(dc)
     nyb, nxb = region // f + 1, region // f + 1
-    k4 = fold_kernel_s2d(kernel)
     y0 = origin_yx[0] - dr // 2
     x0 = origin_yx[1] - dc // 2
     ys4, roy = y0 // f, y0 % f
@@ -301,6 +379,27 @@ def cost_field_s2d(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(nyb, nxb, -1), roy, rox
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mo", "region", "s_out")
+)
+def cost_field_s2d(
+    map4: jnp.ndarray,
+    kernel: jnp.ndarray,
+    origin_yx: jnp.ndarray,
+    mo: int,
+    region: int,
+    s_out: int,
+):
+    """Folded-phase cost field from an UNFOLDED (dr, dc, 8, s_out)
+    kernel.  Returns (out4 (nYb, nXb, 16*s_out) f32, roy, rox): the
+    center at padded (origin_y + iy, origin_x + ix) lives at
+    j = iy + roy, Yb = j // 4, py = j % 4 (same for x), channel
+    (py*4 + px)*s_out + s."""
+    return cost_field_s2d_k4(
+        map4, fold_kernel_s2d(kernel), origin_yx, mo, region, s_out
+    )
 
 
 @functools.partial(
@@ -372,10 +471,6 @@ def make_conv_scorer(
     def score(padded3d, padded4d, pad, stencil, scan, class_weights,
               center_px, theta, f, alive, s0=0):
         th, r, _ = stencil.shape
-        kernel = build_conv_kernel(
-            scan, class_weights, stencil, f, mo, mode, num_rot,
-            window_w, s0,
-        )
         cy = jnp.round(center_px[:, 1] / map_resolution).astype(
             jnp.int32
         ) + pad
@@ -400,6 +495,10 @@ def make_conv_scorer(
         iy = jnp.clip(cy - oy, 0, region - 1)
         ix = jnp.clip(cx - ox, 0, region - 1)
         if use_s2d:
+            kernel = build_conv_kernel(
+                scan, class_weights, stencil, f, mo, mode, num_rot,
+                window_w, s0,
+            )
             out4, roy, rox = cost_field_s2d(
                 padded4d, kernel, jnp.stack([oy, ox]), mo, region,
                 s_out,
@@ -414,6 +513,10 @@ def make_conv_scorer(
                 + jx % F_S2D
             ) * s_out
         else:
+            kernel = build_conv_kernel(
+                scan, class_weights, stencil, f, mo, mode, num_rot,
+                window_w, s0,
+            )
             field = cost_field(
                 padded3d,
                 kernel,

@@ -373,13 +373,27 @@ def make_update_step_fast(
             scan: jnp.ndarray,
             res: jnp.ndarray,
             s0: jnp.ndarray,
+            motion: jnp.ndarray,  # (5,) tx ty omega dist gate
         ) -> FilterState:
-            cost, new_theta = score_impl(
-                state.particles, maps, stencil, scan, res, s0
+            # deferred propagate folded in (one dispatch per scan)
+            key, k_prop = jax.random.split(state.key)
+            p0 = particles_mod.propagate(
+                state.particles,
+                k_prop,
+                motion[:2],
+                motion[2],
+                params,
+                state.scale_frozen,
+                dist=motion[3],
+                noise_gate=motion[4],
             )
-            p = state.particles.replace(
+            state = state.replace(particles=p0, key=key)
+            cost, new_theta = score_impl(
+                p0, maps, stencil, scan, res, s0
+            )
+            p = p0.replace(
                 theta=new_theta,
-                have_init=jnp.ones_like(state.particles.have_init),
+                have_init=jnp.ones_like(p0.have_init),
             )
             w_raw = weight_from_cost(
                 cost, p, params, map_size_scaled
@@ -397,11 +411,14 @@ def make_update_step_fast(
             res: jnp.ndarray,
             f_host: float | None = None,
             s0: int = 0,
+            motion=None,
         ) -> FilterState:
             del f_host
+            if motion is None:
+                motion = jnp.zeros(5, jnp.float32)
             return step(
                 state, maps, map_size_scaled, stencil, scan, res,
-                jnp.asarray(s0, jnp.int32),
+                jnp.asarray(s0, jnp.int32), motion,
             )
 
         return update
@@ -417,8 +434,9 @@ def make_update_step_fast(
         res: jnp.ndarray,
         f_host: float | None = None,
         s0: int = 0,
+        motion=None,
     ) -> FilterState:
-        del f_host  # dispatch hint, unused by this scoring mode
+        del f_host, motion  # motion is host-applied for split paths
         cost, new_theta = score(
             state.particles, maps, stencil, scan, res,
             jnp.asarray(s0, jnp.int32),
@@ -729,6 +747,15 @@ class ParticleFilter:
 
     # -- step ----------------------------------------------------------
     def propagate(self, trans, omega) -> None:
+        """Record a body-frame motion; applied at the next update().
+
+        Deferred in EVERY mode (single-chip fast paths fold the
+        propagate into the fused step - one dispatch per scan; the mesh
+        step always did).  Successive calls COMPOSE (rotate the new
+        body-frame translation by the accumulated omega, sum omegas and
+        noise-scaling distances), so per-odometry-tick propagation
+        matches per-call application.  Queries between propagate() and
+        update() see the pre-propagate particles."""
         if self.state is None:
             return
         t = np.asarray(trans, dtype=np.float64).reshape(-1)
@@ -738,26 +765,37 @@ class ParticleFilter:
         # particle_filter.h:27)
         self._last_omega += float(omega)
         self._last_dist_m += d
-        if self.mesh is not None:
-            # deferred into the fused sharded step at the next update();
-            # successive calls COMPOSE (rotate the new body-frame
-            # translation by the accumulated omega, sum omegas and
-            # noise-scaling distances) so per-odometry-tick propagation
-            # matches the single-chip per-call application
-            t2 = np.asarray(trans, np.float32).reshape(2)
-            if self._pending_motion is None:
-                self._pending_motion = (t2, float(omega), d)
-            else:
-                t0, o0, d0 = self._pending_motion
-                c, s = math.cos(o0), math.sin(o0)
-                t_rot = np.asarray(
-                    [c * t2[0] - s * t2[1], s * t2[0] + c * t2[1]],
-                    np.float32,
-                )
-                self._pending_motion = (
-                    t0 + t_rot, o0 + float(omega), d0 + d
-                )
+        t2 = np.asarray(trans, np.float32).reshape(2)
+        if self._pending_motion is None:
+            self._pending_motion = (t2, float(omega), d)
+        else:
+            t0, o0, d0 = self._pending_motion
+            c, s = math.cos(o0), math.sin(o0)
+            t_rot = np.asarray(
+                [c * t2[0] - s * t2[1], s * t2[0] + c * t2[1]],
+                np.float32,
+            )
+            self._pending_motion = (
+                t0 + t_rot, o0 + float(omega), d0 + d
+            )
+
+    def _pop_motion(self) -> np.ndarray:
+        """(5,) tx ty omega dist gate for the fused step."""
+        if self._pending_motion is not None:
+            trans, omega, dist = self._pending_motion
+            self._pending_motion = None
+            return np.asarray(
+                [trans[0], trans[1], omega, dist, 1.0], np.float32
+            )
+        return np.zeros(5, np.float32)
+
+    def _apply_pending_motion(self) -> None:
+        """Host-side propagate for paths without a fused motion stage
+        (exact gather, crop scoring stage, multi-scale)."""
+        if self._pending_motion is None:
             return
+        trans, omega, dist = self._pending_motion
+        self._pending_motion = None
         key, sub = jax.random.split(self.state.key)
         parts = particles_mod.propagate(
             self.state.particles,
@@ -766,6 +804,7 @@ class ParticleFilter:
             jnp.asarray(omega, dtype=jnp.float32),
             self.params,
             self.state.scale_frozen,
+            dist=jnp.asarray(dist, jnp.float32),
         )
         self.state = self.state.replace(particles=parts, key=key)
 
@@ -1138,15 +1177,7 @@ class ParticleFilter:
         the sharded exact-gather step."""
         from top_down_renderer_tpu.filter import conv_score as cs
 
-        if self._pending_motion is not None:
-            trans, omega, dist = self._pending_motion
-            self._pending_motion = None
-            gate = 1.0
-        else:
-            trans, omega, dist, gate = np.zeros(2, np.float32), 0.0, 0.0, 0.0
-        motion_j = jnp.asarray(
-            [trans[0], trans[1], omega, dist, gate], jnp.float32
-        )
+        motion_j = jnp.asarray(self._pop_motion())
         fast = self._fast_mode(float(res_j))
         if fast is not None and fast[3] == "conv":
             mode, mo, _scale, _path, region, s0, ww, _mip = fast
@@ -1206,6 +1237,7 @@ class ParticleFilter:
         fast = self._fast_mode(float(res))
         if fast is not None and fast[3] == "multi":
             mode, _, _, _, slots, levels, bmi, kp = fast
+            self._apply_pending_motion()
             self.state = self._get_multi_fn(mode, kp, bmi)(
                 self.state,
                 self._get_pyramid_maps(levels),
@@ -1217,6 +1249,13 @@ class ParticleFilter:
             )
         elif fast is not None:
             mode, mo, scale_h, path, region, s0, ww, mip = fast
+            if path == "conv":
+                # fused step: the deferred propagate rides the same
+                # dispatch as scoring + tail
+                motion = jnp.asarray(self._pop_motion())
+            else:
+                self._apply_pending_motion()
+                motion = None
             self.state = self._get_fast_fn(
                 mode, mo, path, region, ww, mip
             )(
@@ -1228,8 +1267,10 @@ class ParticleFilter:
                 res_j,
                 f_host=scale_h * float(res),
                 s0=s0,
+                motion=motion,
             )
         else:
+            self._apply_pending_motion()
             self.state = self._update_fn(
                 self.state, g.dist, map_size_scaled, stencil, scan, res_j
             )

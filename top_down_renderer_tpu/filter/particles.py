@@ -189,6 +189,14 @@ def propagate(
     )
 
     last_dist = jnp.linalg.norm(last_pos - new_d_m, axis=-1)
+    if noise_gate is not None:
+        # gate 0 = a fused update step with NO user propagate() call:
+        # keep the previous per-particle travel distance (the distance
+        # regularization input, particle_filter.cpp:137-142) instead of
+        # zeroing it, matching an update that skips propagate entirely
+        last_dist = jnp.where(
+            noise_gate > 0, last_dist, particles.last_dist
+        )
     return particles.replace(
         d_m=new_d_m,
         theta=new_theta,
