@@ -444,20 +444,30 @@ def make_sharded_step_fast(
             k4 = cs.fold_kernel_s2d(kernel)
             ys4, roy = y0 // f4, y0 % f4
             xs4, rox = x0 // f4, x0 % f4
-            # this device's slice of the folded field rows
+            # this device's slice of the folded field rows; explicit
+            # im2col + matmul like cost_field_s2d_k4 (XLA's conv
+            # lowering runs this shape at ~5% MXU efficiency)
+            c4 = f4 * f4 * cs.C_PAD
             block = jax.lax.dynamic_slice(
                 mapbuf,
                 (ys4 + my * nybl, xs4, 0),
-                (nybl + dye - 1, nxb + dxe - 1, f4 * f4 * cs.C_PAD),
+                (nybl + dye - 1, nxb + dxe - 1, c4),
             )
-            out_loc = jax.lax.conv_general_dilated(
-                block[None],
-                k4,
-                window_strides=(1, 1),
-                padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            pat = jnp.stack(
+                [
+                    jax.lax.slice(
+                        block, (dy, dx, 0), (dy + nybl, dx + nxb, c4)
+                    )
+                    for dy in range(dye)
+                    for dx in range(dxe)
+                ],
+                axis=2,
+            ).reshape(nybl * nxb, dye * dxe * c4)
+            out_loc = jnp.dot(
+                pat,
+                k4.reshape(dye * dxe * c4, -1),
                 preferred_element_type=jnp.float32,
-            )[0]  # (nybl, nxb, 16*s_out)
+            ).reshape(nybl, nxb, 16 * s_out)  # (nybl, nxb, 16*s_out)
             out4 = jax.lax.all_gather(out_loc, axis, tiled=True)
             flat = out4.reshape(-1)
             jy = iy + roy
