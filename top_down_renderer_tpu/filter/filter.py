@@ -636,6 +636,12 @@ class ParticleFilter:
         self._all_have_init = False
         self._last_omega = 0.0
         self._last_dist_m = 0.0
+        # host mirrors of the freeze state: every eager device read
+        # (bool(state.scale_frozen), particles.scale[0]) costs a remote
+        # round-trip on the axon backend (~10-20 ms measured in the
+        # node loop), and these only change via freeze_scale()
+        self._scale_frozen_host = False
+        self._frozen_scale_cache = -1.0
 
         if tdmap.have_map:
             self.initialize_particles()
@@ -681,6 +687,10 @@ class ParticleFilter:
             seed=self.seed,
         )
         frozen = params.fixed_scale >= 0
+        self._scale_frozen_host = frozen
+        self._frozen_scale_cache = (
+            params.fixed_scale if frozen else -1.0
+        )
         key = jax.random.PRNGKey(self.seed)
         # seed smask from the actual initial thetas (same derivation as
         # update_tail) so a theta prior narrows the very first tracked
@@ -820,8 +830,8 @@ class ParticleFilter:
 
         if self.params.fixed_scale > 0:
             scale = self.params.fixed_scale
-        elif bool(self.state.scale_frozen):
-            scale = float(self.state.particles.scale[0])
+        elif self._scale_frozen_host:
+            scale = self._frozen_scale_cache
         else:
             # unknown scale: K-bucket multi-scale crop path (the
             # reference's 10 discrete scale hypotheses,
@@ -1081,7 +1091,7 @@ class ParticleFilter:
 
         if (
             self.params.fixed_scale <= 0
-            and not bool(self.state.scale_frozen)
+            and not self._scale_frozen_host
         ):
             # unknown-scale regime: precompile the K-bucket multi path
             # for the CURRENT population (Pallas: TPU only)
@@ -1290,6 +1300,7 @@ class ParticleFilter:
         try:
             st.bbox.copy_to_host_async()
             st.smask.copy_to_host_async()
+            st.n_active.copy_to_host_async()
             if self.params.fixed_scale <= 0:
                 st.particles.scale.copy_to_host_async()
         except AttributeError:
@@ -1310,6 +1321,15 @@ class ParticleFilter:
             )
         )
 
+    def pose_stats(self):
+        """(mean_likelihood (4,), mean_cov (4,4)) with one device
+        dispatch + one transfer (the node's per-publish pair)."""
+        ml, cov = stats_mod.pose_stats(
+            self.state.particles, self.state.n_active
+        )
+        ml, cov = jax.device_get((ml, cov))
+        return np.asarray(ml), np.asarray(cov)
+
     def max_likelihood(self) -> np.ndarray:
         return np.asarray(self.state.ml_state)
 
@@ -1329,7 +1349,7 @@ class ParticleFilter:
 
     def freeze_scale(self) -> None:
         """Geometric-mean scale lock (particle_filter.cpp:343-357)."""
-        if self.state is None or bool(self.state.scale_frozen):
+        if self.state is None or self._scale_frozen_host:
             return
         p = self.state.particles
         m = np.asarray(p.alive, dtype=np.float64)
@@ -1344,18 +1364,20 @@ class ParticleFilter:
             scale_frozen=jnp.asarray(True),
             frozen_scale=jnp.asarray(geo_mean, dtype=jnp.float32),
         )
+        self._scale_frozen_host = True
+        self._frozen_scale_cache = geo_mean
         print(f"[tdr-tpu] scale converged and locked to {geo_mean}")
 
     @property
     def is_scale_frozen(self) -> bool:
-        return bool(self.state.scale_frozen) if self.state else False
+        return self._scale_frozen_host if self.state else False
 
     def scale(self) -> float:
         """particle_filter.cpp:359-367."""
         if self.params.fixed_scale > 0:
             return self.params.fixed_scale
-        if self.state is not None and bool(self.state.scale_frozen):
-            return float(self.state.particles.scale[0])
+        if self.state is not None and self._scale_frozen_host:
+            return self._frozen_scale_cache
         return -1.0
 
     def num_particles(self) -> int:

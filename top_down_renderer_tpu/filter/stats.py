@@ -7,12 +7,18 @@ averages over the (alive) particle set, with circular handling of theta.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from top_down_renderer_tpu.core.grids import Particles
 from top_down_renderer_tpu.core.geometry import wrap_angle
 
+# These run once per published pose; unjitted they execute op-by-op
+# eagerly, which on the remote axon backend cost ~200 ms per publish
+# (measured by tests/profile_node.py) - jitted they are sub-ms.
 
+
+@jax.jit
 def mean_likelihood(
     particles: Particles, n_active: jnp.ndarray
 ) -> jnp.ndarray:
@@ -39,6 +45,7 @@ def _cov_around(
     return cov / jnp.maximum(n_active.astype(jnp.float32) - 1.0, 1.0)
 
 
+@jax.jit
 def compute_mean_cov(
     particles: Particles, n_active: jnp.ndarray
 ) -> jnp.ndarray:
@@ -48,6 +55,18 @@ def compute_mean_cov(
                        n_active)
 
 
+@jax.jit
+def pose_stats(
+    particles: Particles, n_active: jnp.ndarray
+):
+    """(mean_likelihood (4,), mean_cov (4,4)) in ONE dispatch - the
+    per-publish pair the node reads every scan (the separate calls cost
+    a remote round-trip each on the axon backend)."""
+    mean = mean_likelihood(particles, n_active)
+    return mean, _cov_around(particles, mean, n_active)
+
+
+@jax.jit
 def compute_cov(
     particles: Particles, ml_state: jnp.ndarray, n_active: jnp.ndarray
 ) -> jnp.ndarray:

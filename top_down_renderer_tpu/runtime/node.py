@@ -329,8 +329,14 @@ class TopDownRenderNode:
             self.rt.theta_bins,
             self.rt.range_bins,
         )
-        self._publish("scan", self.visualize_scan(np.asarray(scan)))
-        self._publish("geo_scan", np.asarray(geo))
+        # visualization publishes force a device sync (np.asarray) -
+        # only pay for them when someone subscribed (the reference
+        # publishes unconditionally but ROS drops unsubscribed topics
+        # before serialization, top_down_render.cpp:543-544)
+        if self.callbacks["scan"]:
+            self._publish("scan", self.visualize_scan(np.asarray(scan)))
+        if self.callbacks["geo_scan"]:
+            self._publish("geo_scan", np.asarray(geo))
         self.timing["render_ms"] = (time.perf_counter() - t0) * 1e3
 
         # delta pose from prior (:550-556)
@@ -355,13 +361,17 @@ class TopDownRenderNode:
         omega = math.atan2(proj[1], proj[0])
         self.filter.propagate(trans.astype(np.float32), omega)
         self.filter.update(scan, self.current_range_scale)
-        self._publish("map_viz", self.visualize_map())
+        if self.callbacks["map_viz"]:
+            self._publish("map_viz", self.visualize_map())
 
     # ------------------------------------------------------------------
     # pose publishing + convergence machine (publishPoseEst, :331-411)
     # ------------------------------------------------------------------
     def publish_pose_est(self, stamp: float) -> None:
-        cov = self.filter.compute_mean_cov()
+        if self.filter.state is None:
+            return
+        # one fused device dispatch + transfer for the per-publish pair
+        ml, cov = self.filter.pose_stats()
         scale = self.filter.scale()
         scale_2 = scale * scale if scale > 0 else 1.0
 
@@ -377,8 +387,6 @@ class TopDownRenderNode:
 
         if self.filter.num_particles() < 1:
             return
-
-        ml = self.filter.mean_likelihood()
 
         # scale freeze trigger (:356-360)
         if cov[3, 3] < 0.003 * ml[3] and not self.filter.is_scale_frozen:
