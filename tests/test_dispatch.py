@@ -142,3 +142,50 @@ def test_warmup_skips_oversized_regions():
     pf.use_fast = True
     # regions far beyond the padded map: should be filtered, not crash
     pf.warmup(0.5, regions=(1024, 2048), windows=(16,), modes=("tracked",))
+
+
+def test_propagate_defers_and_composes():
+    """propagate() is deferred in every mode: queries between
+    propagate() and update() see the pre-propagate particles, and
+    successive calls compose (rotate the second body-frame translation
+    by the first omega)."""
+    pf = _pf()
+    before = np.asarray(pf.state.particles.d_m).copy()
+    pf.propagate(np.array([1.0, 0.0], np.float32), np.pi / 2)
+    np.testing.assert_array_equal(
+        np.asarray(pf.state.particles.d_m), before
+    )
+    pf.propagate(np.array([2.0, 0.0], np.float32), 0.0)
+    trans, omega, dist = pf._pending_motion
+    # t1 + R(pi/2) t2 = (1, 0) + (0, 2)
+    np.testing.assert_allclose(trans, [1.0, 2.0], atol=1e-6)
+    assert abs(omega - np.pi / 2) < 1e-6
+    assert abs(dist - 3.0) < 1e-6
+    # host application consumes the pending motion
+    pf._apply_pending_motion()
+    assert pf._pending_motion is None
+    moved = np.asarray(pf.state.particles.d_m)
+    assert not np.allclose(moved, before)
+
+
+def test_pose_stats_matches_separate_calls():
+    """The fused per-publish pair equals the individual jitted stats."""
+    pf = _pf()
+    ml, cov = pf.pose_stats()
+    np.testing.assert_allclose(ml, pf.mean_likelihood(), rtol=1e-6)
+    np.testing.assert_allclose(
+        cov, pf.compute_mean_cov(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_scale_host_mirrors():
+    """scale()/is_scale_frozen never touch the device once mirrored."""
+    pf = _pf(fixed_scale=-1.0)
+    assert not pf.is_scale_frozen and pf.scale() == -1.0
+    pf.freeze_scale()
+    assert pf.is_scale_frozen
+    geo = float(
+        np.exp(np.log(np.asarray(pf.state.particles.scale)[
+            np.asarray(pf.state.particles.alive)]).mean())
+    )
+    assert abs(pf.scale() - geo) / geo < 1e-5
