@@ -327,22 +327,24 @@ def _kernel(
     i_tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     key_t = midx_ref[i_tile]
-    midx = key_t // RX
-    rx8 = jax.lax.rem(key_t, RX) * C_PAD
+    live = key_t >= 0  # -1 = dead tail tile (occupied-only padding)
+    key_c = jnp.maximum(key_t, 0)
+    midx = key_c // RX
+    rx8 = jax.lax.rem(key_c, RX) * C_PAD
+    key_next_raw = midx_ref[jnp.minimum(i_tile + 1, n_tiles - 1)]
+    next_live = (i_tile + 1 < n_tiles) & (key_next_raw >= 0)
     slot = jax.lax.rem(i_tile, 2)
     nslot = jax.lax.rem(i_tile + 1, 2)
 
     if db_m:
-        midx_next = (
-            midx_ref[jnp.minimum(i_tile + 1, n_tiles - 1)] // RX
-        )
+        midx_next = jnp.maximum(key_next_raw, 0) // RX
 
         def m_dma(var_idx, s):
             return pltpu.make_async_copy(
                 m_hbm_ref.at[var_idx], m_buf.at[s], m_sem.at[s]
             )
 
-        @pl.when(i_tile == 0)
+        @pl.when((i_tile == 0) & live)
         def _():
             m_dma(midx, 0).start()
             prev_idx[0] = midx
@@ -350,9 +352,7 @@ def _kernel(
             prev_idx[2] = 1
             prev_idx[3] = 0
 
-        need_next = (i_tile + 1 < n_tiles) & (
-            prev_idx[nslot] != midx_next
-        )
+        need_next = next_live & (prev_idx[nslot] != midx_next)
 
         @pl.when(need_next)
         def _():
@@ -367,7 +367,9 @@ def _kernel(
                 m_hbm_ref.at[midx], m_buf, m_sem
             )
 
-        need_m = (i_tile == 0) | (midx != prev_idx[0])
+        need_m = (
+            (i_tile == 0) | (midx != prev_idx[0])
+        ) & live
 
         @pl.when(need_m)
         def _():
@@ -386,7 +388,7 @@ def _kernel(
             sems.at[s],
         )
 
-    @pl.when(i_tile == 0)
+    @pl.when((i_tile == 0) & live)
     def _():
         jax.lax.fori_loop(
             0, p_tile,
@@ -394,8 +396,9 @@ def _kernel(
             0, unroll=True,
         )
 
-    # prefetch next tile's crops into the other slot
-    @pl.when(i_tile + 1 < n_tiles)
+    # prefetch next tile's crops into the other slot (skip dead tiles:
+    # the waiter below is predicated on the SAME key>=0 condition)
+    @pl.when(next_live)
     def _():
         jax.lax.fori_loop(
             0, p_tile,
@@ -405,7 +408,7 @@ def _kernel(
 
     if db_m:
 
-        @pl.when(prev_idx[2 + slot] == 1)
+        @pl.when(live & (prev_idx[2 + slot] == 1))
         def _():
             pltpu.make_async_copy(
                 m_hbm_ref.at[prev_idx[slot]], m_buf.at[slot],
@@ -419,39 +422,44 @@ def _kernel(
         def _():
             m_dma0().wait()
 
-        prev_idx[0] = midx
-    # one batched wait for all of this slot's crop bytes: a synthetic
-    # descriptor over the whole slot buffer waits for the same byte
-    # count the p_tile individual DMAs signalled on the shared sem
-    pltpu.make_async_copy(
-        crop_buf.at[slot], crop_buf.at[slot], sems.at[slot]
-    ).wait()
-    # x-residual alignment: rotate each crop row left by rx*8 lanes
-    # (wrap lands on always-zero M columns, see docstring).  Mosaic's
-    # dynamic lane rotate only supports 32-bit data; the free bitcast
-    # to an i32 view (sublane pairing - lane indices preserved) rotates
-    # both packed bf16 rows identically, which IS the per-row minor
-    # rotate.  Interpret mode emulates with the f32 round-trip instead
-    # (same semantics, no packed-layout emulation dependency).
-    if interp:
-        rolled = pltpu.roll(
-            crop_buf[slot].astype(jnp.float32),
-            jax.lax.rem(dc8 - rx8, dc8),
-            2,
-        ).astype(jnp.bfloat16)
-    else:
-        ci = pltpu.bitcast(crop_buf[slot], jnp.int32)
-        rolled = pltpu.bitcast(
-            pltpu.roll(ci, jax.lax.rem(dc8 - rx8, dc8), 2),
-            jnp.bfloat16,
+        @pl.when(live)
+        def _():
+            prev_idx[0] = midx
+
+    @pl.when(live)
+    def _():
+        # one batched wait for all of this slot's crop bytes: a
+        # synthetic descriptor over the whole slot buffer waits for the
+        # same byte count the p_tile individual DMAs signalled
+        pltpu.make_async_copy(
+            crop_buf.at[slot], crop_buf.at[slot], sems.at[slot]
+        ).wait()
+        # x-residual alignment: rotate each crop row left by rx*8 lanes
+        # (wrap lands on always-zero M columns, see docstring).
+        # Mosaic's dynamic lane rotate only supports 32-bit data; the
+        # free bitcast to an i32 view (sublane pairing - lane indices
+        # preserved) rotates both packed bf16 rows identically, which
+        # IS the per-row minor rotate.  Interpret mode emulates with
+        # the f32 round-trip instead (no packed-layout dependency).
+        if interp:
+            rolled = pltpu.roll(
+                crop_buf[slot].astype(jnp.float32),
+                jax.lax.rem(dc8 - rx8, dc8),
+                2,
+            ).astype(jnp.bfloat16)
+        else:
+            ci = pltpu.bitcast(crop_buf[slot], jnp.int32)
+            rolled = pltpu.bitcast(
+                pltpu.roll(ci, jax.lax.rem(dc8 - rx8, dc8), 2),
+                jnp.bfloat16,
+            )
+        flat = rolled.reshape(p_tile, dr * dc8)
+        out_ref[...] = jax.lax.dot_general(
+            flat,
+            m_buf[slot] if db_m else m_buf[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-    flat = rolled.reshape(p_tile, dr * dc8)
-    out_ref[...] = jax.lax.dot_general(
-        flat,
-        m_buf[slot] if db_m else m_buf[...],
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
 
 @functools.partial(
@@ -514,12 +522,18 @@ def _run_kernel(
 def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
     """Sort particles into per-group tile-padded slots.
 
-    Returns (pos (N,) int32 slot per particle, tile_midx (n_tiles,),
-    n_pad static).  Empty groups consume no tiles beyond rounding."""
+    Returns (pos (N,) int32 slot per particle, tile_key (n_tiles,),
+    n_pad static).  Empty groups consume NO slots (zero padding), so
+    live tiles pack at the front and the tail tiles carry the -1
+    sentinel - the kernel skips their crop DMA and matmul entirely
+    (at K-bucket variant counts the unconditional per-key padding was
+    ~2.7 GB/step of dead crop traffic)."""
     n = key.shape[0]
     n_pad = ((n + p_tile - 1) // p_tile + n_groups) * p_tile
     counts = jnp.bincount(key, length=n_groups)
-    padded = ((counts + p_tile - 1) // p_tile) * p_tile
+    padded = jnp.where(
+        counts > 0, ((counts + p_tile - 1) // p_tile) * p_tile, 0
+    )
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
     )
@@ -534,9 +548,8 @@ def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
 
     keypad = jnp.full(n_pad, -1, jnp.int32).at[pos_sorted].set(key_sorted)
     n_tiles = n_pad // p_tile
-    tile_midx = jnp.max(keypad.reshape(n_tiles, p_tile), axis=1)
-    tile_midx = jnp.maximum(tile_midx, 0)
-    return pos, tile_midx, n_pad
+    tile_key = jnp.max(keypad.reshape(n_tiles, p_tile), axis=1)
+    return pos, tile_key, n_pad
 
 
 def _origins(
