@@ -89,14 +89,15 @@ def crop_dims(mo: int):
 
 
 def tracked_p_tile(mo: int) -> int:
-    # VMEM: 2x double-buffered crops + rolled copy + resident M(64, K)
-    # < 16 MB (larger is better: per-tile grid overhead is ~2.7 us)
-    return {12: 128, 24: 48}[mo]
+    # VMEM: 2x double-buffered int8 crops + rolled bf16 copy + resident
+    # M(64, K) < 16 MB (larger is better: per-tile grid overhead is
+    # ~2.7 us, so p_tile is a first-order throughput knob)
+    return {12: 192, 24: 64}[mo]
 
 
 def init_p_tile(mo: int) -> int:
-    # init-flavor M is 128-wide; smaller tiles (init steps are one-off)
-    return {12: 64, 24: 24}[mo]
+    # init-flavor M is 128-wide (9.2 MB resident at mo=24)
+    return {12: 128, 24: 32}[mo]
 
 
 from flax import struct
@@ -104,32 +105,56 @@ from flax import struct
 
 @struct.dataclass
 class PaddedMaps:
-    """Device-resident DMA-ready map stack; rebuild on map change."""
+    """Device-resident DMA-ready map stack; rebuild on map change.
 
-    stacked: jnp.ndarray  # (8, Hp, Wp*8) bf16 row-shifted copies
+    The crop-DMA stack is stored int8 with per-channel quantization
+    (halves the dominant spread-regime HBM traffic vs bf16); the
+    dequantization multipliers `qinv` are folded into the M builds, so
+    the kernel's matmul LHS (int8 -> bf16 convert, exact for |v|<=127)
+    carries no extra rounding.  The known/mask channel's values {0, 1}
+    quantize exactly, keeping norm and known-count arithmetic exact."""
+
+    stacked: jnp.ndarray  # (8, Hp, Wp*8) int8 row-shifted copies
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
     padded4d: jnp.ndarray  # (~Hp/4, ~Wp/4, 128) bf16 s2d phase fold
+    qinv: jnp.ndarray = None  # (8,) f32 per-channel dequant multipliers
     hp: int = struct.field(pytree_node=False, default=0)
     wp: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
 
 
+def quantize_channels(packed: jnp.ndarray):
+    """(H, W, 8) f32 -> (int8 quantized, (8,) f32 qinv): symmetric
+    per-channel scales q = 126/max|v| so known-channel {0,1} maps to
+    {0,126} exactly and distance channels get ~max/126 granularity."""
+    p32 = packed.astype(jnp.float32)
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(p32), axis=(0, 1)), 1e-6
+    )  # (8,)
+    q = 126.0 / amax
+    pq = jnp.clip(jnp.round(p32 * q), -127, 127).astype(jnp.int8)
+    return pq, amax / 126.0
+
+
 def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
-    """(H, W, 8) f32 -> zero-padded bf16 2D view stacked over 8 y-shifts.
+    """(H, W, 8) f32 -> zero-padded 2D view stacked over 8 y-shifts
+    (int8-quantized for the crop DMA path; bf16 for the conv path).
     Zeros = dist 0 / known 0 = the reference's out-of-bounds values."""
     from top_down_renderer_tpu.filter.conv_score import fold_map_s2d
 
-    p = jnp.pad(
-        packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
-    )
+    pq, qinv = quantize_channels(packed)
+    p = jnp.pad(pq, ((pad, pad + 8), (pad, pad), (0, 0)))
     hp_full = p.shape[0]
     wp = p.shape[1]
     p2 = p.reshape(hp_full, wp * C_PAD)
     hp = hp_full - 8
     stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
+    pb = jnp.pad(
+        packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
+    )
     return PaddedMaps(
-        stacked=stacked, padded3d=p[:hp], padded4d=fold_map_s2d(p[:hp]),
-        hp=int(hp), wp=int(wp), pad=int(pad),
+        stacked=stacked, padded3d=pb[:hp], padded4d=fold_map_s2d(pb[:hp]),
+        qinv=qinv, hp=int(hp), wp=int(wp), pad=int(pad),
     )
 
 
@@ -141,6 +166,7 @@ def _build_base_y_from_pix(
     cost_cols: jnp.ndarray,  # (TR*C, n_cost) - rows in (theta,r,c) order
     norm_cols: jnp.ndarray,  # (TR, n_norm)
     s_cols: int,
+    qinv: jnp.ndarray | None = None,  # (C_PAD,) dequant per crop channel
 ) -> jnp.ndarray:
     """Build the base tensor y (C_PAD, s_cols, n_slots) f32.
 
@@ -168,6 +194,10 @@ def _build_base_y_from_pix(
     )
     circ2 = circ2.at[:, c, n_cost : n_cost + n_norm].set(norm_cols)
     circ2 = circ2.at[:, c, n_cost + n_norm].set(1.0)
+    if qinv is not None:
+        # int8 crop path: fold the per-channel dequantization into the
+        # coefficients (crop values are q-scaled integers)
+        circ2 = circ2 * qinv[None, :, None]
     lhs = (
         circ2.transpose(1, 2, 0)
         .reshape(C_PAD * s_cols, tr)
@@ -195,11 +225,12 @@ def _build_base_t_from_pix(
     cost_cols: jnp.ndarray,
     norm_cols: jnp.ndarray,
     s_cols: int,
+    qinv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(s_cols, kext) bf16 with K-row layout k = slot*C_PAD + ch (the
     crop kernel's M layout)."""
     y = _build_base_y_from_pix(
-        pix8, kext, c, cost_cols, norm_cols, s_cols
+        pix8, kext, c, cost_cols, norm_cols, s_cols, qinv
     )
     n_slots = kext // C_PAD
     return (
@@ -226,6 +257,7 @@ def _build_base_t(
     cost_cols: jnp.ndarray,
     norm_cols: jnp.ndarray,
     s_cols: int,
+    qinv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Crop-path base matrix: K-rows laid out on the (dr, dc) crop of
     crop_dims(mo) with the RX row-shift tail."""
@@ -233,7 +265,7 @@ def _build_base_t(
     kext = dr * dc * C_PAD + RX * C_PAD
     pix8 = (py * dc + px) * C_PAD
     return _build_base_t_from_pix(
-        pix8, kext, c, cost_cols, norm_cols, s_cols
+        pix8, kext, c, cost_cols, norm_cols, s_cols, qinv
     )
 
 
@@ -243,6 +275,7 @@ def build_m_tracked(
     stencil: jnp.ndarray,
     f,
     mo: int,
+    qinv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(N_GROUPS, 64, K) bf16 variants for tracked mode, transposed so
     the kernel's manual M DMA slices along the 128-aligned K minor.
@@ -264,7 +297,7 @@ def build_m_tracked(
         jnp.arange(N_GROUPS)[:, None] * GW + jnp.arange(GW)[None, :]
     ) % th  # (7, 16)
     base_t = jax.vmap(
-        lambda cc, nc: _build_base_t(mo, py, px, c, cc, nc, 64)
+        lambda cc, nc: _build_base_t(mo, py, px, c, cc, nc, 64, qinv)
     )(
         jnp.moveaxis(cost_circ[:, cols], 1, 0),  # (7, TR*C, 16)
         jnp.moveaxis(norm_circ[:, cols], 1, 0),  # (7, TR, 16)
@@ -279,6 +312,7 @@ def build_m_init(
     f,
     mo: int,
     num_rot: int = 40,
+    qinv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(1, 128, K) bf16 for the theta-search mode: cols [0:num_rot)
     cost at the search shifts, [num_rot:2*num_rot) norm, [2*num_rot]
@@ -292,7 +326,7 @@ def build_m_init(
     ssh = search_shifts(th, num_rot)
     py, px = _stencil_pix(stencil, f, mo)
     base_t = _build_base_t(
-        mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128
+        mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128, qinv
     )  # (128, Kext)
     return base_t[None, :, :k]  # (1, 128, K)
 
@@ -300,19 +334,16 @@ def build_m_init(
 def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
     out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
-    *, mo: int, p_tile: int, db_m: bool, interp: bool = False,
+    *, mo: int, p_tile: int, interp: bool = False,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
     semaphore (DMA semaphores count bytes).
 
-    db_m=False: M is single-buffered and refetched (with a stall) only
-    when the variant changes - right when variants are wide (the
-    128-col init M doesn't fit VMEM twice) or runs per variant are long.
-    db_m=True: M is double-buffered like the crops - tile i prefetches
-    tile i+1's variant into the other slot while computing.  prev_idx
-    is (4,) SMEM: [held_slot0, held_slot1, pending_slot0,
-    pending_slot1].
+    M is single-buffered and refetched (with a stall) only when the
+    variant changes: tiles are sorted variant-major (_group_layout), so
+    the refetch happens once per variant run, and the wide init M
+    (128 cols) doesn't fit VMEM twice anyway.
 
     The sort key packs (variant, x-residual): midx_ref holds
     key = variant * RX + rx per tile (tiles are key-uniform by
@@ -336,44 +367,18 @@ def _kernel(
     slot = jax.lax.rem(i_tile, 2)
     nslot = jax.lax.rem(i_tile + 1, 2)
 
-    if db_m:
-        midx_next = jnp.maximum(key_next_raw, 0) // RX
+    def m_dma0():
+        return pltpu.make_async_copy(
+            m_hbm_ref.at[midx], m_buf, m_sem
+        )
 
-        def m_dma(var_idx, s):
-            return pltpu.make_async_copy(
-                m_hbm_ref.at[var_idx], m_buf.at[s], m_sem.at[s]
-            )
+    need_m = (
+        (i_tile == 0) | (midx != prev_idx[0])
+    ) & live
 
-        @pl.when((i_tile == 0) & live)
-        def _():
-            m_dma(midx, 0).start()
-            prev_idx[0] = midx
-            prev_idx[1] = -1
-            prev_idx[2] = 1
-            prev_idx[3] = 0
-
-        need_next = next_live & (prev_idx[nslot] != midx_next)
-
-        @pl.when(need_next)
-        def _():
-            m_dma(midx_next, nslot).start()
-            prev_idx[nslot] = midx_next
-            prev_idx[2 + nslot] = 1
-
-    else:
-
-        def m_dma0():
-            return pltpu.make_async_copy(
-                m_hbm_ref.at[midx], m_buf, m_sem
-            )
-
-        need_m = (
-            (i_tile == 0) | (midx != prev_idx[0])
-        ) & live
-
-        @pl.when(need_m)
-        def _():
-            m_dma0().start()
+    @pl.when(need_m)
+    def _():
+        m_dma0().start()
 
     def dma(orig, i, s):
         # origins store y8/8 and xe/128: multiplying in-kernel lets
@@ -406,25 +411,13 @@ def _kernel(
             0, unroll=True,
         )
 
-    if db_m:
+    @pl.when(need_m)
+    def _():
+        m_dma0().wait()
 
-        @pl.when(live & (prev_idx[2 + slot] == 1))
-        def _():
-            pltpu.make_async_copy(
-                m_hbm_ref.at[prev_idx[slot]], m_buf.at[slot],
-                m_sem.at[slot],
-            ).wait()
-            prev_idx[2 + slot] = 0
-
-    else:
-
-        @pl.when(need_m)
-        def _():
-            m_dma0().wait()
-
-        @pl.when(live)
-        def _():
-            prev_idx[0] = midx
+    @pl.when(live)
+    def _():
+        prev_idx[0] = midx
 
     @pl.when(live)
     def _():
@@ -437,10 +430,12 @@ def _kernel(
         # x-residual alignment: rotate each crop row left by rx*8 lanes
         # (wrap lands on always-zero M columns, see docstring).
         # Mosaic's dynamic lane rotate only supports 32-bit data; the
-        # free bitcast to an i32 view (sublane pairing - lane indices
-        # preserved) rotates both packed bf16 rows identically, which
-        # IS the per-row minor rotate.  Interpret mode emulates with
-        # the f32 round-trip instead (no packed-layout dependency).
+        # free bitcast to an i32 view (sublane packing - lane indices
+        # preserved; hardware-validated for int8 by tests/probe_int8.py)
+        # rotates all packed int8 rows identically, which IS the
+        # per-row minor rotate.  Interpret mode emulates with an f32
+        # round-trip instead (no packed-layout dependency).  The int8 ->
+        # bf16 convert is exact (|v| <= 127); dequantization lives in M.
         if interp:
             rolled = pltpu.roll(
                 crop_buf[slot].astype(jnp.float32),
@@ -451,12 +446,12 @@ def _kernel(
             ci = pltpu.bitcast(crop_buf[slot], jnp.int32)
             rolled = pltpu.bitcast(
                 pltpu.roll(ci, jax.lax.rem(dc8 - rx8, dc8), 2),
-                jnp.bfloat16,
-            )
+                jnp.int8,
+            ).astype(jnp.bfloat16)
         flat = rolled.reshape(p_tile, dr * dc8)
         out_ref[...] = jax.lax.dot_general(
             flat,
-            m_buf[slot] if db_m else m_buf[...],
+            m_buf[...],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -464,7 +459,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mo", "p_tile", "s_cols", "interpret", "db_m"),
+    static_argnames=("mo", "p_tile", "s_cols", "interpret"),
 )
 def _run_kernel(
     stacked: jnp.ndarray,
@@ -475,7 +470,6 @@ def _run_kernel(
     p_tile: int,
     s_cols: int,
     interpret: bool = False,
-    db_m: bool = False,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     n_tiles = n_pad // p_tile
@@ -500,18 +494,16 @@ def _run_kernel(
         ],
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.bfloat16),
-            pltpu.VMEM(
-                (2, s_cols, k) if db_m else (s_cols, k), jnp.bfloat16
-            ),
-            pltpu.SMEM((4,) if db_m else (1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,) if db_m else ()),
+            pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.int8),
+            pltpu.VMEM((s_cols, k), jnp.bfloat16),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         )
     return pl.pallas_call(
         functools.partial(
-            _kernel, mo=mo, p_tile=p_tile, db_m=db_m, interp=interpret
+            _kernel, mo=mo, p_tile=p_tile, interp=interpret
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
@@ -587,7 +579,9 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
     def score(maps, stencil, scan, class_weights, center_px, theta, f):
         th, r, _ = stencil.shape
         p_tile = tracked_p_tile(mo)
-        m_var = build_m_tracked(scan, class_weights, stencil, f, mo)
+        m_var = build_m_tracked(
+            scan, class_weights, stencil, f, mo, maps.qinv
+        )
         s = rotation_shift(theta, th)
         g = s // GW
         ry, y8, xe, rx, in_range = _origins(
@@ -632,7 +626,7 @@ def make_score_init(mo: int, num_rot: int = 40,
         th, r, _ = stencil.shape
         p_tile = init_p_tile(mo)
         m_var = build_m_init(
-            scan, class_weights, stencil, f, mo, num_rot
+            scan, class_weights, stencil, f, mo, num_rot, maps.qinv
         )
         ry, y8, xe, rx, in_range = _origins(
             center_px, maps, mo, map_resolution
