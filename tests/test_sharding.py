@@ -255,3 +255,75 @@ def test_node_mesh_devices_plumbing():
     node.pc_callback(0.0, pts)
     assert node.filter.state.step is not None
     assert int(node.filter.state.step) == 1
+
+
+def _mini_world_pf_unknown_scale(mesh=None, n=128, seed=0):
+    """Unknown-scale mini world: fixed_scale<0 initializes the 10
+    discrete log-spaced scale hypotheses (particle_filter.cpp:19-25),
+    which _fast_mode routes to the multi-bucket crop path."""
+    from top_down_renderer_tpu.config import FilterParams, MapParams
+    from top_down_renderer_tpu.filter.filter import ParticleFilter
+    from top_down_renderer_tpu.maps.map import TopDownMap, build_grid
+
+    c = 3
+    maps_bin = np.ones((c, 96, 96), np.float32)
+    maps_bin[1, 44:52, :] = 0.0
+    maps_bin[2, 30:38, 60:68] = 0.0
+    tdm = TopDownMap(MapParams(map_path="", num_classes=c,
+                               resolution=1.0))
+    tdm.grid = build_grid(maps_bin, 1.0, 50.0)
+    tdm.class_maps_binary = maps_bin
+    tdm.have_map = True
+    tdm.sample_pts_polar(100, 25)
+    params = FilterParams(
+        fixed_scale=-1.0, class_weights=[0.5] + [1.5] * (c - 1),
+        force_on_map=True, init_pos_px_x=48.0, init_pos_px_y=48.0,
+        init_pos_px_cov=6.0,
+        init_pos_deg_theta=float("inf"),  # no theta prior: init flavor
+        pos_cov=0.0, theta_cov=0.0,
+    )
+    return ParticleFilter(
+        n, tdm, params, seed=seed, chunk_size=n, mesh=mesh,
+        use_fast=True,
+    )
+
+
+def test_mesh_multi_path_matches_single_chip(monkeypatch):
+    """The unknown-scale regime must run the K-bucket crop path ON THE
+    MESH (per-device kernel over the local particle shard,
+    sharding.make_sharded_step_multi) - not fall to the sharded exact
+    gather - and must match the single-chip multi step on the
+    pre-resample max-weight state (identical particle sets: zero motion
+    pending, same seed)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 virtual devices")
+    from top_down_renderer_tpu.filter import pallas_score as ps
+    from top_down_renderer_tpu.parallel.sharding import make_mesh
+
+    # small interpret-mode tiles keep the CPU grid loop fast
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)
+    pf_s = _mini_world_pf_unknown_scale(mesh=None, seed=11)
+    pf_m = _mini_world_pf_unknown_scale(mesh=make_mesh(2), seed=11)
+    rng = np.random.default_rng(5)
+    scan = jnp.asarray(rng.random((3, 100, 25)).astype(np.float32))
+    for pf in (pf_s, pf_m):
+        pf.update(scan, 1.0)
+    multi_keys = [k for k in pf_m._sharded_fns if k[0] == "multi"]
+    assert multi_keys, "mesh multi path never dispatched"
+    assert multi_keys[0][1] == "init"
+    np.testing.assert_allclose(
+        pf_s.max_likelihood(), pf_m.max_likelihood(), rtol=1e-4,
+        atol=1e-5,
+    )
+    # second update: all particles now have init -> tracked flavor,
+    # still on the mesh multi path (scale not yet frozen)
+    scan2 = jnp.asarray(rng.random((3, 100, 25)).astype(np.float32))
+    for pf in (pf_s, pf_m):
+        pf.update(scan2, 1.0)
+    modes = {k[1] for k in pf_m._sharded_fns if k[0] == "multi"}
+    assert "tracked" in modes, "tracked multi flavor never dispatched"
+    np.testing.assert_allclose(
+        pf_s.max_likelihood(), pf_m.max_likelihood(), rtol=1e-4,
+        atol=1e-5,
+    )

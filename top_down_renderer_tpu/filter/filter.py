@@ -458,6 +458,7 @@ def make_update_step_multiscale(
     k_max: int = 8,
     gmm_every: int = 1,
     tail_fn=None,
+    interpret: bool = False,
 ):
     """Update step for the unknown-scale regime: K scale buckets through
     ONE crop-kernel pass (filter/multiscale.py).  slot_vals (the bucket
@@ -473,12 +474,12 @@ def make_update_step_multiscale(
         )
     if mode == "tracked":
         scorer = ms.make_score_tracked_multi(
-            n_buckets, bucket_mip_idx, map_resolution
+            n_buckets, bucket_mip_idx, map_resolution, interpret
         )
     else:
         scorer = ms.make_score_init_multi(
             n_buckets, bucket_mip_idx, params.num_rot_search,
-            map_resolution,
+            map_resolution, interpret,
         )
 
     @jax.jit
@@ -903,10 +904,12 @@ class ParticleFilter:
         a 'multi'-tagged tuple (mode, None, None, 'multi', slot_vals,
         mip levels, bucket->level idx, K_padded) or None (exact
         gather)."""
-        if self.mesh is not None:
-            return None  # Pallas is single-chip; mesh falls to exact
         from top_down_renderer_tpu.filter import multiscale as ms
 
+        # the pending propagate diffuses scales up to ~2%/step; apply it
+        # BEFORE clustering so slot assignment and the <=SCALE_RTOL
+        # quantization guarantee hold for the scales actually scored
+        self._apply_pending_motion()
         if self._all_have_init:
             mode = "tracked"
         else:
@@ -935,9 +938,19 @@ class ParticleFilter:
         slots_p = np.concatenate(
             [slots, np.full(kp - k, slots[-1], np.float32)]
         )
+        # every slot's stencil must fit the static MO_MULTI crop bucket:
+        # offsets reach (range_bins-1) * slot*res/mip px, so pick each
+        # slot's mip against fmax = MO_MULTI/(range_bins-1) (the clustered
+        # SCALE_RTOL spread is absorbed by the crop's +1 px margin).  A
+        # slot that saturates even mip=64 drops the whole dispatch to the
+        # exact gather - the crop kernel would silently alias/drop points.
+        range_bins = self.map.stencil.shape[1]
+        fmax = ms.MO_MULTI / max(range_bins - 1, 1)
         mips = tuple(
-            ms.mip_for_f(float(s) * res) for s in slots_p
+            ms.mip_for_f(float(s) * res, fmax) for s in slots_p
         )
+        if any(m is None for m in mips):
+            return None
         levels = tuple(sorted(set(mips)))
         bmi = tuple(levels.index(m) for m in mips)
         return (mode, None, None, "multi", slots_p, levels, bmi, kp)
@@ -971,6 +984,8 @@ class ParticleFilter:
                 bmi,
                 gmm_every=self.gmm_every,
                 tail_fn=self._tail_fn,
+                # Mosaic program; CPU backends (tests) run interpreted
+                interpret=jax.default_backend() == "cpu",
             )
         return self._fast_fns[key]
 
@@ -1180,15 +1195,58 @@ class ParticleFilter:
             )
         return self._sharded_fns[key]
 
+    def _get_sharded_multi_fn(self, mode: str, kp: int, bmi):
+        key = ("multi", mode, kp, bmi)
+        if key not in self._sharded_fns:
+            from top_down_renderer_tpu.parallel.sharding import (
+                make_sharded_step_multi,
+            )
+
+            self._sharded_fns[key] = make_sharded_step_multi(
+                self.mesh,
+                self.params,
+                num_classes=self.map.grid.num_classes,
+                map_resolution=self.map.resolution,
+                theta_bins=self.theta_bins,
+                n_max=self.n_max,
+                mode=mode,
+                n_buckets=kp,
+                bucket_mip_idx=bmi,
+                gmm_every=self.gmm_every,
+                # the crop kernel is a TPU Mosaic program; CPU meshes
+                # (tests, dryrun) run it interpreted
+                interpret=jax.default_backend() == "cpu",
+            )
+        return self._sharded_fns[key]
+
     def _update_sharded(self, scan, res_j, map_size_scaled, stencil):
         """Mesh-mode step: fused propagate + update on the sharded state.
-        Conv-eligible dispatches run the row-sharded cost field; crop/mip
-        tuples (Pallas is single-chip) and everything else fall back to
-        the sharded exact-gather step."""
+        Conv-eligible dispatches run the row-sharded cost field; multi
+        (unknown-scale) dispatches run the per-device crop kernel over
+        the local particle shard; everything else falls back to the
+        sharded exact-gather step.
+
+        Dispatch runs BEFORE the motion pop: the multi path applies the
+        deferred propagate eagerly (slot clustering needs post-diffusion
+        scales), after which _pop_motion returns the zero/gate-0 motion
+        whose fused propagate is a no-op (last_dist preserved,
+        particles.propagate)."""
         from top_down_renderer_tpu.filter import conv_score as cs
 
-        motion_j = jnp.asarray(self._pop_motion())
         fast = self._fast_mode(float(res_j))
+        motion_j = jnp.asarray(self._pop_motion())
+        if fast is not None and fast[3] == "multi":
+            mode, _, _, _, slots, levels, bmi, kp = fast
+            self.state = self._get_sharded_multi_fn(mode, kp, bmi)(
+                self.state,
+                self._get_pyramid_maps(levels),
+                map_size_scaled,
+                stencil,
+                scan,
+                res_j,
+                jnp.asarray(slots, jnp.float32),
+            )
+            return
         if fast is not None and fast[3] == "conv":
             mode, mo, _scale, _path, region, s0, ww, _mip = fast
             s_out = (

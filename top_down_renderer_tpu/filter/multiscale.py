@@ -84,11 +84,19 @@ def cluster_scales(
     return np.exp(np.asarray(slots, np.float64)).astype(np.float32)
 
 
-def mip_for_f(f: float) -> int:
-    """Smallest power-of-2 mip with f/mip <= 1 (so mo=24 always covers
-    range_bins-1 = 24 stencil steps)."""
+def mip_for_f(f: float, fmax: float = 1.0) -> int | None:
+    """Smallest power-of-2 mip with f/mip <= fmax, or None if even
+    mip=64 saturates (callers fall back to the exact gather).
+
+    fmax is the largest per-mip-pixel stencil step the static MO_MULTI
+    crop bucket covers: MO_MULTI / (range_bins - 1).  The default 1.0
+    is the 25-range-bin stencil (mo=24 covers 24 unit steps); wider
+    stencils (e.g. the 50-bin library default) need proportionally
+    smaller fmax so no stencil offset lands outside the crop."""
     m = 1
-    while f / m > 1.0 and m < 64:
+    while f / m > fmax:
+        if m >= 64:
+            return None
         m *= 2
     return m
 
@@ -106,9 +114,13 @@ class PyramidMaps:
 
     Level l occupies rows [row_off[l], row_off[l] + hp[l]) of each of
     the 8 y-shifted copies; all levels share the column width of the
-    finest level (coarser levels are zero-padded right)."""
+    finest level (coarser levels are zero-padded right).  Stored int8
+    like PaddedMaps.stacked: the full-res map is quantized ONCE and
+    every level subsamples the same quantized values, so one (8,) qinv
+    dequantizes all levels (folded into the M builds)."""
 
-    stacked: jnp.ndarray  # (8, H_tot, Wp_max*8) bf16
+    stacked: jnp.ndarray  # (8, H_tot, Wp_max*8) int8
+    qinv: jnp.ndarray = None  # (8,) f32 per-channel dequant multipliers
     mips: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     row_off: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     hp: Tuple[int, ...] = struct.field(pytree_node=False, default=())
@@ -120,15 +132,12 @@ def build_pyramid_maps(
     packed: jnp.ndarray, mips: Tuple[int, ...], pad: int = ps.MAP_PAD
 ) -> PyramidMaps:
     """(H, W, 8) f32 full-res packed map -> pyramid stack over `mips`."""
+    pq, qinv = ps.quantize_channels(packed)
     hps, wps, offs = [], [], []
     off = 0
     p2s = []
     for m in mips:
-        sub = packed[::m, ::m]
-        p = jnp.pad(
-            sub.astype(jnp.bfloat16),
-            ((pad, pad), (pad, pad), (0, 0)),
-        )
+        p = jnp.pad(pq[::m, ::m], ((pad, pad), (pad, pad), (0, 0)))
         hp, wp = p.shape[0], p.shape[1]
         p2s.append(p.reshape(hp, wp * C_PAD))
         hps.append(hp)
@@ -139,11 +148,12 @@ def build_pyramid_maps(
     p2s = [
         jnp.pad(x, ((0, 0), (0, wmax - x.shape[1]))) for x in p2s
     ]
-    big = jnp.concatenate(p2s + [jnp.zeros((8, wmax), jnp.bfloat16)], 0)
+    big = jnp.concatenate(p2s + [jnp.zeros((8, wmax), jnp.int8)], 0)
     h_tot = big.shape[0] - 8
     stacked = jnp.stack([big[k : k + h_tot] for k in range(8)])
     return PyramidMaps(
         stacked=stacked,
+        qinv=qinv,
         mips=tuple(mips),
         row_off=tuple(offs),
         hp=tuple(hps),
@@ -204,22 +214,25 @@ def _origins_pyramid(
 # ---------------------------------------------------------------------
 
 
-def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot):
+def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
+                       qinv=None):
     """(K, 128, Kext): one theta-search M per bucket (the kernel
     handles the x-residual by rotating the crop).  f_eff: (K,)
     effective scale*res/mip per bucket."""
     m = jax.vmap(
         lambda f: build_m_init(
-            scan, class_weights, stencil, f, mo, num_rot
+            scan, class_weights, stencil, f, mo, num_rot, qinv
         )
     )(f_eff)  # (K, 1, 128, k)
     return m.reshape(-1, *m.shape[2:])
 
 
-def build_m_tracked_multi(scan, class_weights, stencil, f_eff, mo):
+def build_m_tracked_multi(scan, class_weights, stencil, f_eff, mo,
+                          qinv=None):
     """(K*N_GROUPS, 64, Kext): tracked variant table, bucket-major."""
     m = jax.vmap(
-        lambda f: build_m_tracked(scan, class_weights, stencil, f, mo)
+        lambda f: build_m_tracked(scan, class_weights, stencil, f, mo,
+                                  qinv)
     )(f_eff)  # (K, N_GROUPS, 64, k)
     return m.reshape(-1, *m.shape[2:])
 
@@ -257,7 +270,7 @@ def make_score_init_multi(
         )
         f_eff = slot_vals * res / mips  # (K,)
         m_var = build_m_init_multi(
-            scan, class_weights, stencil, f_eff, mo, num_rot
+            scan, class_weights, stencil, f_eff, mo, num_rot, pyr.qinv
         )
         bucket = assign_buckets(scale, slot_vals)
         ry, y8, xe, rx, in_range = _origins_pyramid(
@@ -305,7 +318,7 @@ def make_score_tracked_multi(
         )
         f_eff = slot_vals * res / mips
         m_var = build_m_tracked_multi(
-            scan, class_weights, stencil, f_eff, mo
+            scan, class_weights, stencil, f_eff, mo, pyr.qinv
         )
         bucket = assign_buckets(scale, slot_vals)
         s = rotation_shift(theta, th)

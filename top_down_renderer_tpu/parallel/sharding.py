@@ -333,6 +333,108 @@ def make_sharded_step(
     return jax.jit(sharded)
 
 
+def make_sharded_step_multi(
+    mesh: Mesh,
+    params: FilterParams,
+    num_classes: int,
+    map_resolution: float,
+    theta_bins: int,
+    n_max: int,
+    mode: str,  # "tracked" | "init"
+    n_buckets: int,
+    bucket_mip_idx,
+    k_max: int = 8,
+    gmm_every: int = 1,
+    axis: str = "data",
+    interpret: bool = False,
+):
+    """Multi-chip unknown-scale step: K scale buckets scored through ONE
+    Pallas crop-kernel pass per device (filter/multiscale.py), on each
+    device's local particle shard.  The crop kernel is a per-core
+    program, so under shard_map every chip crops only its own
+    n_max/n_dev particles against the replicated mip pyramid - the
+    regime the reference's TBB pool parallelizes uniformly
+    (particle_filter.cpp:104-105) scales the same way here.  The small
+    M-variant build (K buckets x <=7 groups x 64 x Kext bf16) is
+    recomputed per device: cheaper than communicating it.
+
+    The deferred propagate is applied EAGERLY on the sharded state
+    before dispatch (exactly like the single-chip multi path: slot
+    clustering must see post-diffusion scales), so this step carries no
+    motion stage; tail semantics match _sharded_tail."""
+    from top_down_renderer_tpu.filter import multiscale as ms
+
+    n_dev = mesh.devices.size
+    assert n_max % n_dev == 0, "n_max must be divisible by mesh size"
+    n_local = n_max // n_dev
+    class_weights = _pad_class_weights(params, num_classes)
+    if mode == "tracked":
+        scorer = ms.make_score_tracked_multi(
+            n_buckets, bucket_mip_idx, map_resolution, interpret
+        )
+    else:
+        scorer = ms.make_score_init_multi(
+            n_buckets, bucket_mip_idx, params.num_rot_search,
+            map_resolution, interpret,
+        )
+
+    def step_fn(
+        state: FilterState,
+        pyr,  # multiscale.PyramidMaps (replicated)
+        map_size_scaled: jnp.ndarray,
+        stencil: jnp.ndarray,
+        scan: jnp.ndarray,
+        res: jnp.ndarray,
+        slot_vals: jnp.ndarray,
+    ) -> FilterState:
+        p = state.particles  # local shard (n_local)
+        key, k_rs, k_gmm = jax.random.split(state.key, 3)
+        if mode == "tracked":
+            num, den, kf = scorer(
+                pyr, stencil, scan, class_weights, p.pose_px(),
+                p.theta, p.scale, slot_vals, res,
+            )
+            cost = num / den
+            cost = jnp.where(kf < 0.5, jnp.nan, cost)
+            new_theta = p.theta
+        else:
+            nums, dens, kf = scorer(
+                pyr, stencil, scan, class_weights, p.pose_px(),
+                p.scale, slot_vals, res,
+            )
+            costs = nums / dens
+            costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
+            cost, new_theta = select_init_cost(
+                costs, params.num_rot_search
+            )
+        p = p.replace(
+            theta=new_theta, have_init=jnp.ones_like(p.have_init)
+        )
+        w_raw = weight_from_cost(cost, p, params, map_size_scaled)
+        return _sharded_tail(
+            state, p, w_raw, key, k_rs, k_gmm, axis, n_max, n_local,
+            k_max, gmm_every, theta_bins,
+        )
+
+    state_spec = _state_spec(axis)
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(
+            state_spec,
+            P(),  # pyramid replicated (spec broadcasts over the pytree)
+            P(),
+            P(),  # stencil
+            P(),  # scan
+            P(),
+            P(),  # slot_vals
+        ),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_step_fast(
     mesh: Mesh,
     params: FilterParams,
