@@ -131,9 +131,10 @@ def main():
     ]
     summary = {
         "bag": args.bag,
-        "workload": "city drive "
+        "workload": f"{args.bag} drive "
         f"({meta['drive_len_m']:.0f} m, {meta['steps']} scans, "
         f"{meta['hw']}px map @ {meta['scale_px_m']} px/m)",
+        "generator": meta.get("generator", "city_bag.py"),
         "particles": args.particles,
         "runs": args.runs,
         "device": str(jax.devices()[0]),
