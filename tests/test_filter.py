@@ -91,6 +91,46 @@ def test_systematic_resample_proportional():
     assert sum(counts.values()) == n
 
 
+def test_resample_scatter_matches_gather():
+    """The scatter+forward-fill formulation (resample.py:
+    _segment_rows_scatter, the TPU descriptor-bound-gather workaround)
+    must select byte-identical rows to the j-gather path across weight
+    shapes: uniform, spiky, zero-prefix, partial n_active/n_new."""
+    rng = np.random.default_rng(7)
+    n = 512
+    p = _mk_particles(n, rng)
+    cases = []
+    w = rng.random(n).astype(np.float32)
+    cases.append((w / w.sum(), n, n))
+    w = np.zeros(n, np.float32)
+    w[3] = 0.9
+    w[400] = 0.1
+    cases.append((w, n, n))
+    w = np.zeros(n, np.float32)
+    w[100:200] = rng.random(100).astype(np.float32)
+    w /= w.sum()
+    cases.append((w, 300, 200))  # n_new < n, n_active < n
+    w = np.zeros(n, np.float32)
+    w[0] = 1.0
+    cases.append((w, n, 1))
+    for i, (w, n_new, n_act) in enumerate(cases):
+        key = jax.random.PRNGKey(100 + i)
+        a = systematic_resample(
+            p, jnp.asarray(w), jnp.asarray(n_new), jnp.asarray(n_act),
+            key, via_scatter=False,
+        )
+        b = systematic_resample(
+            p, jnp.asarray(w), jnp.asarray(n_new), jnp.asarray(n_act),
+            key, via_scatter=True,
+        )
+        for f in ("init_px", "d_m", "theta", "scale", "have_init",
+                  "weight", "last_dist", "alive"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"case {i} field {f}",
+            )
+
+
 def test_resample_respects_n_new():
     rng = np.random.default_rng(2)
     n = 100

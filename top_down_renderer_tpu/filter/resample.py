@@ -47,27 +47,83 @@ def _systematic_indices(
     return jnp.minimum(j, jnp.maximum(n_active_old - 1, 0))
 
 
+def _segment_rows_scatter(
+    packed: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_new: jnp.ndarray,
+    n_active_old: jnp.ndarray,
+    shift: jnp.ndarray,
+) -> jnp.ndarray:
+    """packed[j] WITHOUT the row gather: TPU gathers sustain only
+    ~1.7e8 descriptors/s (one per row -> ~0.6 ms at 102k), while a
+    scatter into DISTINCT slots is ~free (~0.02 ms at the same
+    descriptor count).
+
+    Because j is non-decreasing, the resample output is a sequence of
+    constant-row segments: scatter each selected source's row at its
+    segment start (starts are distinct by construction: f is
+    non-decreasing, so f_prev values of selected sources are strictly
+    increasing), then forward-fill rows with a log-N associative scan.
+
+    MEASURED SLOWER than the gather on v5e (bench.py headline 6.66 vs
+    5.26 ms/step at 102,400): the 17-level tuple associative_scan costs
+    ~1.4 ms of elementwise passes - more than the gather it replaces.
+    Kept (parity-tested) as the reference formulation for a future
+    single-kernel forward-fill; systematic_resample defaults to the
+    gather."""
+    n = weights.shape[0]
+    csum = jnp.cumsum(weights)
+    nn = jnp.maximum(n_new, 1).astype(jnp.float32)
+    f = jnp.clip(
+        jnp.ceil(csum * nn - shift), 0.0, nn
+    ).astype(jnp.int32)
+    f_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), f[:-1]])
+    has = (f > f_prev) & (
+        jnp.arange(n) < jnp.maximum(n_active_old, 1)
+    )
+    pos = jnp.where(has, f_prev, n)  # drop empty sources
+    rows0 = jnp.zeros_like(packed).at[pos].set(packed, mode="drop")
+    valid0 = jnp.zeros(n, bool).at[pos].set(True, mode="drop")
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf[..., None], bv, av), af | bf
+
+    rows, valid = jax.lax.associative_scan(
+        comb, (rows0, valid0), axis=0
+    )
+    # slot 0 is always a segment start when any source was selected;
+    # the remaining invalid rows (degenerate all-zero weights) take
+    # source 0, matching the gather path's zeros-base cummax.
+    return jnp.where(valid[:, None], rows, packed[0])
+
+
 def systematic_resample(
     particles: Particles,
     weights: jnp.ndarray,
     n_new: jnp.ndarray,
     n_active_old: jnp.ndarray,
     key: jax.Array,
+    via_scatter: bool = False,
 ) -> Particles:
     """Returns the resampled particle set with n_new alive particles."""
     n = particles.n_max
     shift = jax.random.uniform(key)
-    j = _systematic_indices(weights, n_new, n_active_old, shift)
-
     alive = jnp.arange(n) < n_new
     w_new = jnp.where(alive, 1.0 / jnp.maximum(n_new, 1), 0.0)
-    # ONE (N, 8) row gather instead of 8 per-field gathers: TPU gathers
-    # are descriptor-bound (~1.7e8 desc/s), so packing the fields cuts
+    # ONE (N, 8) row op instead of 8 per-field ones: TPU gathers are
+    # descriptor-bound (~1.7e8 desc/s), so packing the fields cuts
     # the descriptor count 8x; the pack/unpack copies fuse away.
     packed = pack_fields(particles)
-    return unpack_fields(
-        jnp.take(packed, j, axis=0), w_new.astype(jnp.float32), alive
-    )
+    if via_scatter:
+        g = _segment_rows_scatter(
+            packed, weights, n_new, n_active_old, shift
+        )
+    else:
+        j = _systematic_indices(weights, n_new, n_active_old, shift)
+        g = jnp.take(packed, j, axis=0)
+    return unpack_fields(g, w_new.astype(jnp.float32), alive)
 
 
 def pack_fields(p: Particles) -> jnp.ndarray:
