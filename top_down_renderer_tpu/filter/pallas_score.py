@@ -109,10 +109,12 @@ class PaddedMaps:
 
     The crop-DMA stack is stored int8 with per-channel quantization
     (halves the dominant spread-regime HBM traffic vs bf16); the
-    dequantization multipliers `qinv` are folded into the M builds, so
-    the kernel's matmul LHS (int8 -> bf16 convert, exact for |v|<=127)
-    carries no extra rounding.  The known/mask channel's values {0, 1}
-    quantize exactly, keeping norm and known-count arithmetic exact."""
+    dequantization multipliers `qinv` are folded into the M builds, and
+    the kernel contracts the int8 crops directly on the int8 MXU (M is
+    hi/lo-split int8, see _run_kernel), so the crop values carry no
+    rounding beyond this quantization.  The known/mask channel's values
+    {0, 1} quantize exactly, keeping norm and known-count arithmetic
+    exact."""
 
     stacked: jnp.ndarray  # (8, Hp, Wp*8) int8 row-shifted copies
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
@@ -333,8 +335,8 @@ def build_m_init(
 
 def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
-    out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
-    *, mo: int, p_tile: int, interp: bool = False,
+    m_scale_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
+    *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
@@ -434,27 +436,33 @@ def _kernel(
         # preserved; hardware-validated for int8 by tests/probe_int8.py)
         # rotates all packed int8 rows identically, which IS the
         # per-row minor rotate.  Interpret mode emulates with an f32
-        # round-trip instead (no packed-layout dependency).  The int8 ->
-        # bf16 convert is exact (|v| <= 127); dequantization lives in M.
+        # round-trip instead (no packed-layout dependency).
         if interp:
             rolled = pltpu.roll(
                 crop_buf[slot].astype(jnp.float32),
                 jax.lax.rem(dc8 - rx8, dc8),
                 2,
-            ).astype(jnp.bfloat16)
+            ).astype(jnp.int8)
         else:
             ci = pltpu.bitcast(crop_buf[slot], jnp.int32)
             rolled = pltpu.bitcast(
                 pltpu.roll(ci, jax.lax.rem(dc8 - rx8, dc8), 2),
                 jnp.int8,
-            ).astype(jnp.bfloat16)
+            )
         flat = rolled.reshape(p_tile, dr * dc8)
-        out_ref[...] = jax.lax.dot_general(
+        # one int8 x int8 MXU contraction over [M_hi | M_lo] (2x the
+        # bf16 rate, full 128 output lanes, and no int8 -> bf16 convert
+        # pass over the crops); per-(variant, column) scales dequantize
+        # the i32 accumulator halves (hardware-exact int8 matmul:
+        # tests/probe_int8_mm.py)
+        acc = jax.lax.dot_general(
             flat,
             m_buf[...],
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
+        sc = acc.astype(jnp.float32) * m_scale_ref[0]
+        out_ref[...] = sc[:, :s_cols] + sc[:, s_cols:]
 
 
 @functools.partial(
@@ -475,6 +483,26 @@ def _run_kernel(
     n_tiles = n_pad // p_tile
     dr, dc = crop_dims(mo)
     k = dr * dc * C_PAD
+    # hi/lo int8 split of M, stacked on the column axis: the kernel
+    # contracts int8 crops against int8 [M_hi | M_lo] in ONE MXU pass
+    # (2*s_cols columns fill the 128-lane MXU the 64-col bf16 matmul
+    # half-wasted; int8 runs at 2x the bf16 rate) and combines the i32
+    # accumulator halves with per-(variant, column) scales.  Effective
+    # M precision is ~16 bit (residual <= amax/(127*254*2), BETTER than
+    # the bf16 M it replaces): a single int8 plane is not enough - the
+    # kf count column's coefficients span [1, kmax] collisions and a
+    # 0.5/127*kmax rounding bias showed up as a +3% kf error.
+    m32 = m_var.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_cols)
+    s_hi = jnp.maximum(amax, 1e-30) / 127.0
+    hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)
+    res = m32 - hi * s_hi[..., None]  # |res| <= s_hi/2
+    s_lo = s_hi / 254.0
+    lo = jnp.clip(jnp.round(res / s_lo[..., None]), -127, 127)
+    m_i8 = jnp.concatenate([hi, lo], axis=1).astype(jnp.int8)
+    m_scale = jnp.concatenate(
+        [s_hi, s_lo], axis=1
+    )[:, None, :]  # (n_var, 1, 2*s_cols)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -491,11 +519,15 @@ def _run_kernel(
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # M variants, manual DMA
+            pl.BlockSpec(  # per-variant dequant row, auto-piped to VMEM
+                (1, 1, 2 * s_cols),
+                lambda i, m: (jnp.maximum(m[i], 0) // RX, 0, 0),
+            ),
         ],
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.int8),
-            pltpu.VMEM((s_cols, k), jnp.bfloat16),
+            pltpu.VMEM((2 * s_cols, k), jnp.int8),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -503,12 +535,19 @@ def _run_kernel(
         )
     return pl.pallas_call(
         functools.partial(
-            _kernel, mo=mo, p_tile=p_tile, interp=interpret
+            _kernel, mo=mo, p_tile=p_tile, s_cols=s_cols,
+            interp=interpret,
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
         interpret=interpret,
-    )(midx, origins, origins, stacked, m_var)
+        # the default 16 MB scoped-vmem budget caps p_tile at 64 for
+        # mo=24; raising it lets the double-buffered crops + rolled
+        # copy + resident M use real VMEM (v5e: 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20
+        ),
+    )(midx, origins, origins, stacked, m_i8, m_scale)
 
 
 def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
