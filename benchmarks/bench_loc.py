@@ -129,8 +129,13 @@ def main():
         for r in loc["runs"]
         if r["first_converged_stamp"] is not None
     ]
+    # every persisted entry carries its provenance: the device it ran
+    # on, the world generator, and whether it was a capped/CPU smoke
+    # (never a measurement)
+    smoke = bool(args.cpu or args.max_scans)
     summary = {
         "bag": args.bag,
+        "smoke": smoke,
         "workload": f"{args.bag} drive "
         f"({meta['drive_len_m']:.0f} m, {meta['steps']} scans, "
         f"{meta['hw']}px map @ {meta['scale_px_m']} px/m)",
@@ -158,6 +163,11 @@ def main():
             max_scans=args.max_scans, verbose=True,
         )
         out["benchmark_conv"] = {
+            "bag": args.bag,
+            "smoke": smoke,
+            "generator": meta.get("generator", "city_bag.py"),
+            "particles": args.particles,
+            "device": str(jax.devices()[0]),
             "offsets": offsets,
             "convergence_rate": conv["convergence_rate"],
             "mean_time_to_converge_s": round(

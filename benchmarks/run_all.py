@@ -244,6 +244,12 @@ def main():
             r = json.loads(line)
         else:
             r = fns[i]()
+        if "device" not in r:
+            # stamp the backend the config actually ran on so CPU
+            # numbers are never mistaken for chip numbers
+            import jax
+
+            r["device"] = str(jax.devices()[0])
         print(json.dumps(r), flush=True)
         results.append(r)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
