@@ -1,0 +1,56 @@
+"""Structural invariant behind pallas_score.trim_lanes.
+
+The crop kernel contracts only the first trim_lanes(mo) int8 lanes of
+each rolled crop (filter/pallas_score.py::_kernel); that is exact iff
+
+  1. every M column past the trim is zero for ANY f that passes the
+     pick_crop_size gate (stencil px <= (dc-16)//2 + mo), and
+  2. the in-kernel rx lane-roll wraps its garbage into lanes at or
+     beyond the trim (rx8 <= (RX-1)*8 -> wrap region starts at
+     dc8 - 120 >= trim).
+
+Checked here directly on the M builders at the largest legal f per
+bucket; end-to-end numerics are pinned by the interpret-mode parity
+suite (test_pallas_interpret.py, test_multiscale.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from top_down_renderer_tpu.filter import pallas_score as ps
+from top_down_renderer_tpu.maps.polar import polar_stencil
+
+TH, R = 100, 25
+
+
+@pytest.mark.parametrize("mo", [12, 24])
+def test_m_support_ends_before_trim(mo):
+    rng = np.random.default_rng(0)
+    stencil = jnp.asarray(polar_stencil(TH, R))
+    scan = jnp.asarray(rng.random((3, TH, R)), jnp.float32) * 3
+    cw = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    # largest f the bucket accepts (pick_crop_size gate)
+    f = mo / (R - 1)
+    assert ps.pick_crop_size(f, R) == mo
+    dr, dc = ps.crop_dims(mo)
+    t = ps.trim_lanes(mo)
+    for m in (
+        ps.build_m_tracked(scan, cw, stencil, f, mo),
+        ps.build_m_init(scan, cw, stencil, f, mo),
+    ):
+        m4 = np.asarray(
+            m.astype(jnp.float32)
+        ).reshape(m.shape[0], m.shape[1], dr, dc * ps.C_PAD)
+        assert np.all(m4[..., t:] == 0.0), (mo, t)
+        # the trim is not vacuous: support reaches near its edge
+        assert np.any(m4[..., t - 128 : t] != 0.0), (mo, t)
+
+
+@pytest.mark.parametrize("mo", [12, 24])
+def test_trim_clears_roll_wrap(mo):
+    dr, dc = ps.crop_dims(mo)
+    t = ps.trim_lanes(mo)
+    assert t % 128 == 0
+    # wrap garbage occupies lanes [dc8 - rx8, dc8); worst rx
+    assert t <= dc * ps.C_PAD - (ps.RX - 1) * ps.C_PAD
