@@ -33,12 +33,14 @@ S_COLS = int(os.environ.get("ABL_S_COLS", "64"))  # 64 tracked / 128 init
 N = int(os.environ.get("ABL_N", "102400"))
 HW = 1024
 ONLY = os.environ.get("ABL_ONLY", "")  # comma list of ablation names
+UNROLL = int(os.environ.get("ABL_UNROLL", "0"))  # 0 = full unroll
 
 
 def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
     m_scale_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
     *, mo, p_tile, s_cols, dma, roll, mm, mt=False, flat_only=False,
+    trim=0,
 ):
     dr, dc = ps.crop_dims(mo)
     dc8 = dc * 8
@@ -68,13 +70,14 @@ def _kernel(
             sems.at[s],
         )
 
+    unroll = UNROLL if UNROLL else True
     if dma:
         @pl.when(i_tile == 0)
         def _():
             jax.lax.fori_loop(
                 0, p_tile,
                 lambda i, _: (dma_fn(origins_ref, i, slot).start(), 0)[1],
-                0, unroll=True,
+                0, unroll=unroll,
             )
 
         @pl.when(i_tile + 1 < n_tiles)
@@ -82,7 +85,7 @@ def _kernel(
             jax.lax.fori_loop(
                 0, p_tile,
                 lambda i, _: (dma_fn(origins_next_ref, i, nslot).start(), 0)[1],
-                0, unroll=True,
+                0, unroll=unroll,
             )
 
     @pl.when(need_m)
@@ -110,7 +113,12 @@ def _kernel(
             * m_scale_ref[0, 0, :s_cols]
         )
     elif mm:
-        flat = rolled.reshape(p_tile, dr * dc8)
+        if trim:
+            # post-roll valid px support is [ (dc-16)//2 - mo,
+            # (dc-16)//2 + mo ] = 49 px at mo=24; the first 512 lanes
+            # (64 px) cover it with a 128-aligned static slice
+            rolled = rolled[:, :, :trim]
+        flat = rolled.reshape(p_tile, dr * trim if trim else dr * dc8)
         if mt:
             acc = jax.lax.dot_general(
                 flat, m_buf[...], (((1,), (0,)), ((), ())),
@@ -131,11 +139,11 @@ def _kernel(
 
 
 def build(stacked, origins, midx, m_i8, m_scale, *, dma, roll, mm,
-          mt=False, flat_only=False):
+          mt=False, flat_only=False, trim=0):
     n_pad = origins.shape[0]
     n_tiles = n_pad // P_TILE
     dr, dc = ps.crop_dims(MO)
-    k = dr * dc * 8
+    k = dr * (trim if trim else dc * 8)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -163,7 +171,7 @@ def build(stacked, origins, midx, m_i8, m_scale, *, dma, roll, mm,
     f = pl.pallas_call(
         functools.partial(_kernel, mo=MO, p_tile=P_TILE, s_cols=S_COLS,
                           dma=dma, roll=roll, mm=mm, mt=mt,
-                          flat_only=flat_only),
+                          flat_only=flat_only, trim=trim),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, S_COLS), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -225,12 +233,22 @@ def main():
         ("dma_only", dict(dma=True, roll=False, mm=False)),
         ("mm_only", dict(dma=False, roll=True, mm=True)),
         ("mm_only_t", dict(dma=False, roll=True, mm=True, mt=True)),
+        ("full_trim", dict(dma=True, roll=True, mm=True, trim=512)),
     )
     if ONLY:
         names = set(ONLY.split(","))
         abls = tuple(a for a in abls if a[0] in names)
+    dr, dc8 = ps.crop_dims(MO)[0], ps.crop_dims(MO)[1] * 8
     for name, kw in abls:
         mi = m_i8_t if kw.get("mt") else m_i8
+        if kw.get("trim"):
+            t = kw["trim"]
+            nv = m_i8.shape[0]
+            mi = (
+                m_i8.reshape(nv, 128, dr, dc8)[..., :t]
+                .reshape(nv, 128, dr * t)
+            )
+            jax.block_until_ready(mi)
         fn = build(maps.stacked, origins, midx, mi, m_scale, **kw)
         out = fn()
         out.block_until_ready()

@@ -7,11 +7,32 @@ import pytest
 
 
 def test_dryrun_multichip_8():
-    if jax.device_count() < 8:
-        pytest.skip("needs 8 virtual devices")
-    import __graft_entry__ as ge
+    """Runs the driver's dryrun in a FRESH process, exactly as the
+    driver invokes it.  In-process it aborts flakily at the perf-shaped
+    step when ~90 suite tests' worth of XLA-CPU state has accumulated
+    (SIGABRT inside block_until_ready; passes standalone and in any
+    smaller batch) - subprocess isolation both mirrors the real
+    invocation and keeps the suite robust to that pressure."""
+    import os
+    import subprocess
+    import sys
 
-    ge.dryrun_multichip(8)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as ge; ge.dryrun_multichip(8)",
+        ],
+        cwd=root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "perf-shaped sharded conv step OK" in p.stdout, p.stdout
 
 
 def test_sharded_matches_single_chip_weights():

@@ -337,16 +337,27 @@ def make_score_tracked_multi(
         origins = origins.at[pos].set(
             jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
         )
+        # in-kernel window-column select + distinct-slot scatter
+        # readback (see pallas_score.make_score_tracked)
+        n = center_px.shape[0]
+        local = s - g * GW
+        loc_pad = jnp.zeros((n_pad, 1), jnp.int32).at[pos, 0].set(local)
         out = ps._run_kernel(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
-            interpret,
+            interpret, sel=True, locals_=loc_pad,
         )
-        flat = out.reshape(-1)
-        local = s - g * GW
-        base = pos * 64
-        cost = flat[base + local]
-        norm = flat[base + GW + local]
-        kf_cnt = flat[base + 2 * GW]
+        inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        cost = jnp.zeros(n, jnp.float32).at[inv].set(
+            out[:, 0], mode="drop"
+        )
+        norm = jnp.zeros(n, jnp.float32).at[inv].set(
+            out[:, 1], mode="drop"
+        )
+        kf_cnt = jnp.zeros(n, jnp.float32).at[inv].set(
+            out[:, 2], mode="drop"
+        )
         kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
         cost = jnp.where(in_range, cost, 0.0)
         norm = jnp.where(in_range, norm, 0.0)

@@ -39,6 +39,7 @@ zero-padded border: dist 0 / known 0 (top_down_map_polar.cpp:38-50).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -88,16 +89,41 @@ def crop_dims(mo: int):
     return dr, dc
 
 
+def trim_lanes(mo: int) -> int:
+    """Contraction width (int8 lanes) actually carrying M support.
+
+    M places stencil points at px = (dc-16)//2 + off_x with
+    |off_x| <= mo (_stencil_pix + the pick_crop_size gate), so every
+    lane past ((dc-16)//2 + mo + 1)*8 is a structurally-zero M column;
+    the kernel contracts only the first trim_lanes(mo) lanes (128-
+    aligned static slice) - 20% fewer MACs at mo=24, 33% at mo=12.
+    The in-kernel rx roll wraps garbage into lanes [dc8-rx8, dc8);
+    rx8 <= (RX-1)*8, so the trim also has to stop short of the wrap
+    region (asserted)."""
+    dr, dc = crop_dims(mo)
+    need = ((dc - 16) // 2 + mo + 1) * C_PAD
+    t = min(-(-need // 128) * 128, dc * C_PAD)
+    assert t <= dc * C_PAD - (RX - 1) * C_PAD or t == dc * C_PAD, (
+        mo, t
+    )
+    return t
+
+
 def tracked_p_tile(mo: int) -> int:
-    # VMEM: 2x double-buffered int8 crops + rolled bf16 copy + resident
-    # M(64, K) < 16 MB (larger is better: per-tile grid overhead is
-    # ~2.7 us, so p_tile is a first-order throughput knob)
-    return {12: 192, 24: 64}[mo]
+    # Rows streamed per MXU weight load: the dominant efficiency knob
+    # for the in-kernel int8 dot (p_tile rows amortize each 128x128
+    # weight-tile load) and for the ~2.7 us/tile grid overhead; the
+    # cost is group padding (tiles are (variant, rx)-uniform).  VMEM
+    # at mo=24/p_tile=64: 2x double-buffered int8 crops 4.6 MB +
+    # trimmed M 3.7 MB.  TDR_P_TILE_TRACKED overrides for sweeps.
+    env = os.environ.get("TDR_P_TILE_TRACKED")
+    return int(env) if env else {12: 192, 24: 64}[mo]
 
 
 def init_p_tile(mo: int) -> int:
-    # init-flavor M is 128-wide (9.2 MB resident at mo=24)
-    return {12: 128, 24: 32}[mo]
+    # init-flavor M is 128-wide (x2 hi/lo = 256 rows resident)
+    env = os.environ.get("TDR_P_TILE_INIT")
+    return int(env) if env else {12: 128, 24: 32}[mo]
 
 
 from flax import struct
@@ -335,8 +361,9 @@ def build_m_init(
 
 def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
-    m_scale_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem, sems,
-    *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
+    m_scale_ref, locals_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem,
+    sems, *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
+    sel: bool = False,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
@@ -449,7 +476,13 @@ def _kernel(
                 pltpu.roll(ci, jax.lax.rem(dc8 - rx8, dc8), 2),
                 jnp.int8,
             )
-        flat = rolled.reshape(p_tile, dr * dc8)
+        # contract only the lanes carrying M support (trim_lanes):
+        # everything past them is structurally-zero M columns + the
+        # roll's wrap garbage
+        t = trim_lanes(mo)
+        if t < dc8:
+            rolled = rolled[:, :, :t]
+        flat = rolled.reshape(p_tile, dr * t)
         # one int8 x int8 MXU contraction over [M_hi | M_lo] (2x the
         # bf16 rate, full 128 output lanes, and no int8 -> bf16 convert
         # pass over the crops); per-(variant, column) scales dequantize
@@ -462,12 +495,40 @@ def _kernel(
             preferred_element_type=jnp.int32,
         )
         sc = acc.astype(jnp.float32) * m_scale_ref[0]
-        out_ref[...] = sc[:, :s_cols] + sc[:, s_cols:]
+        res = sc[:, :s_cols] + sc[:, s_cols:]
+        if sel:
+            # tracked mode: select each particle's (cost, norm, kf)
+            # in-kernel (cheap VPU lane-compare) and emit them at lanes
+            # 0/1/2, so the host reads back with DISTINCT-slot scatters
+            # instead of three 102k-descriptor gathers (TPU gathers are
+            # descriptor-bound at ~1.7e8/s; distinct scatters are ~free)
+            loc = locals_ref[...]  # (p_tile, 1) int32 window column
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (p_tile, s_cols), 1
+            )
+            # where() keeps other lanes' NaNs out of the sum while a
+            # NaN at the selected lane still propagates (parity with
+            # the gather it replaces)
+            cost = jnp.sum(
+                jnp.where(lane == loc, res, 0.0), 1, keepdims=True
+            )
+            norm = jnp.sum(
+                jnp.where(lane == loc + GW, res, 0.0), 1,
+                keepdims=True,
+            )
+            kf = res[:, 2 * GW][:, None]
+            out_ref[...] = jnp.where(
+                lane == 0,
+                cost,
+                jnp.where(lane == 1, norm, jnp.where(lane == 2, kf, 0.0)),
+            )
+        else:
+            out_ref[...] = res
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mo", "p_tile", "s_cols", "interpret"),
+    static_argnames=("mo", "p_tile", "s_cols", "interpret", "sel"),
 )
 def _run_kernel(
     stacked: jnp.ndarray,
@@ -478,11 +539,24 @@ def _run_kernel(
     p_tile: int,
     s_cols: int,
     interpret: bool = False,
+    sel: bool = False,
+    locals_: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
+    if locals_ is None:
+        locals_ = jnp.zeros((n_pad, 1), jnp.int32)
     n_tiles = n_pad // p_tile
     dr, dc = crop_dims(mo)
-    k = dr * dc * C_PAD
+    t = trim_lanes(mo)
+    k = dr * t
+    if t < dc * C_PAD:
+        # drop M's structurally-zero lane columns to match the kernel's
+        # trimmed contraction (free: the dropped amax contributions are
+        # zero, so the hi/lo scales are unchanged)
+        n_var, s_m = m_var.shape[0], m_var.shape[1]
+        m_var = m_var.reshape(n_var, s_m, dr, dc * C_PAD)[
+            ..., :t
+        ].reshape(n_var, s_m, k)
     # hi/lo int8 split of M, stacked on the column axis: the kernel
     # contracts int8 crops against int8 [M_hi | M_lo] in ONE MXU pass
     # (2*s_cols columns fill the 128-lane MXU the 64-col bf16 matmul
@@ -523,6 +597,9 @@ def _run_kernel(
                 (1, 1, 2 * s_cols),
                 lambda i, m: (jnp.maximum(m[i], 0) // RX, 0, 0),
             ),
+            pl.BlockSpec(  # per-particle window column (sel mode)
+                (p_tile, 1), lambda i, m: (i, 0)
+            ),
         ],
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
@@ -536,7 +613,7 @@ def _run_kernel(
     return pl.pallas_call(
         functools.partial(
             _kernel, mo=mo, p_tile=p_tile, s_cols=s_cols,
-            interp=interpret,
+            interp=interpret, sel=sel,
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
@@ -547,7 +624,7 @@ def _run_kernel(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         ),
-    )(midx, origins, origins, stacked, m_i8, m_scale)
+    )(midx, origins, origins, stacked, m_i8, m_scale, locals_)
 
 
 def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
@@ -636,18 +713,29 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
         origins = origins.at[pos].set(
             jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
         )
+        # the kernel selects each particle's (cost, norm, kf) window
+        # column itself (sel=True) and the readback is DISTINCT-slot
+        # scatters: three 102k-descriptor gathers cost ~0.6 ms each on
+        # TPU while distinct scatters are ~free (CLAUDE.md measured)
+        n = center_px.shape[0]
+        local = s - g * GW
+        loc_pad = jnp.zeros((n_pad, 1), jnp.int32).at[pos, 0].set(local)
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
-            interpret,
+            interpret, sel=True, locals_=loc_pad,
         )
-        # flat single-element gathers (row gathers of (N_pad, 64) are
-        # an order of magnitude slower on TPU)
-        flat = out.reshape(-1)
-        local = s - g * GW
-        base = pos * 64
-        cost = flat[base + local]
-        norm = flat[base + GW + local]
-        kf_cnt = flat[base + 2 * GW]
+        inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        cost = jnp.zeros(n, jnp.float32).at[inv].set(
+            out[:, 0], mode="drop"
+        )
+        norm = jnp.zeros(n, jnp.float32).at[inv].set(
+            out[:, 1], mode="drop"
+        )
+        kf_cnt = jnp.zeros(n, jnp.float32).at[inv].set(
+            out[:, 2], mode="drop"
+        )
         kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
         cost = jnp.where(in_range, cost, 0.0)
         norm = jnp.where(in_range, norm, 0.0)
