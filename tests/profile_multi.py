@@ -82,7 +82,7 @@ def main():
     p_tile = ps.tracked_p_tile(mo)
     s = rotation_shift(theta, theta_bins)
     g = s // ps.GW
-    key = ((bucket * ps.RX + rx) * ps.N_GROUPS + g).astype(jnp.int32)
+    key = ((bucket * ps.N_GROUPS + g) * ps.RX + rx).astype(jnp.int32)
     gl = jax.jit(
         lambda k_: ps._group_layout(k_, 10 * ps.RX * ps.N_GROUPS,
                                     p_tile)[:2]
@@ -97,22 +97,27 @@ def main():
         jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
     )
 
-    # --- kernel ---
+    # --- kernel (sel mode, as the tracked scorer runs it) ---
+    local = s - g * ps.GW
+    loc_pad = jnp.zeros((n_pad, 1), jnp.int32).at[pos, 0].set(local)
     kern = jax.jit(
-        lambda o_, mi_, mv_: ps._run_kernel(
-            pyr.stacked, o_, mi_, mv_, mo, p_tile, 64, False, True
+        lambda o_, mi_, mv_, l_: ps._run_kernel(
+            pyr.stacked, o_, mi_, mv_, mo, p_tile, 64, False,
+            sel=True, locals_=l_,
         )
     )
-    t_kern = timeit(kern, origins, tile_midx, m_var, reps=10)
-    out = kern(origins, tile_midx, m_var)
+    t_kern = timeit(kern, origins, tile_midx, m_var, loc_pad, reps=10)
+    out = kern(origins, tile_midx, m_var, loc_pad)
 
-    # --- reads ---
+    # --- reads (distinct-slot scatter readback) ---
     def reads(o_, pos_):
-        flat = o_.reshape(-1)
-        local = s - g * ps.GW
-        base = pos_ * 64
-        return (flat[base + local], flat[base + ps.GW + local],
-                flat[base + 2 * ps.GW])
+        inv = jnp.full((n_pad,), n, jnp.int32).at[pos_].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        z = jnp.zeros(n, jnp.float32)
+        return (z.at[inv].set(o_[:, 0], mode="drop"),
+                z.at[inv].set(o_[:, 1], mode="drop"),
+                z.at[inv].set(o_[:, 2], mode="drop"))
 
     t_reads = timeit(jax.jit(reads), out, pos, reps=10)
 
