@@ -160,6 +160,38 @@ def test_multi_init_bucket_parity(setup, monkeypatch):
         )
 
 
+def test_multi_init_sel_matches_host_epilogue(setup, monkeypatch):
+    """sel=True multi init (in-kernel select_init_cost) must equal the
+    sel=False rows through the host epilogue it replaces (exact: same
+    kernel accumulator, same f32 ops)."""
+    from top_down_renderer_tpu.filter.filter import select_init_cost
+
+    packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    args = (
+        pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(scale),
+        jnp.asarray(slot_vals), jnp.asarray(1.0, jnp.float32),
+    )
+    nums, dens, kf = ms.make_score_init_multi(
+        2, (0, 1), interpret=True, mo=MO
+    )(*args)
+    costs = jnp.asarray(nums) / jnp.asarray(dens)
+    costs = jnp.where(jnp.asarray(kf)[:, None] < 0.5, jnp.nan, costs)
+    ref_cost, ref_theta = select_init_cost(costs, 40)
+
+    got_cost, got_theta, got_kf = ms.make_score_init_multi(
+        2, (0, 1), interpret=True, mo=MO, sel=True
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(got_kf), np.asarray(kf))
+    np.testing.assert_array_equal(
+        np.asarray(got_cost), np.asarray(ref_cost)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_theta), np.asarray(ref_theta), rtol=0, atol=1e-6
+    )
+
+
 def test_multi_tracked_bucket_parity(setup, monkeypatch):
     packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
     monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)

@@ -194,6 +194,43 @@ def test_mip_crop_parity(monkeypatch):
     _check(ref.ravel(), got.ravel(), kfe_b.ravel(), kf_b.ravel(), "mip")
 
 
+def test_init_sel_matches_host_epilogue(setup, monkeypatch):
+    """sel=True (in-kernel divide + NaN->FLT_MAX + kf gate + argmin +
+    scatter readback) must equal the sel=False rows fed through the
+    host epilogue it replaces (filter.score_impl: nums/dens, kf<0.5 ->
+    NaN, select_init_cost) — same kernel accumulator, same f32 ops, so
+    the agreement is exact."""
+    from top_down_renderer_tpu.filter.filter import select_init_cost
+
+    stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    mo = ps.pick_crop_size(F, R)
+    args = (
+        maps,
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        F,
+        mo,
+    )
+    nums, dens, kf = ps.score_init_fast_mo(*args, interpret=True)
+    costs = jnp.asarray(nums) / jnp.asarray(dens)
+    costs = jnp.where(jnp.asarray(kf)[:, None] < 0.5, jnp.nan, costs)
+    ref_cost, ref_theta = select_init_cost(costs, 40)
+
+    got_cost, got_theta, got_kf = ps.score_init_sel_mo(
+        *args, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_kf), np.asarray(kf))
+    np.testing.assert_array_equal(
+        np.asarray(got_cost), np.asarray(ref_cost)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_theta), np.asarray(ref_theta), rtol=0, atol=1e-6
+    )
+
+
 def test_init_interpret_parity(setup, monkeypatch):
     stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
     monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)

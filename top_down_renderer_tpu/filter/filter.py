@@ -351,16 +351,19 @@ def make_update_step_fast(
                 maps.padded3d, maps.padded4d, maps.pad, stencil, scan,
                 class_weights, p.pose_px(), p.theta, f, p.alive,
             )
-        else:
-            nums, dens, kf = ps.score_init_fast_mo(
-                maps, stencil, scan, class_weights, p.pose_px(),
-                f / mip, mo, params.num_rot_search,
-                map_resolution * mip,
-            )
-        costs = nums / dens
-        costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
-        # host only selects this mode when NO particle has init
-        return select_init_cost(costs, params.num_rot_search)
+            costs = nums / dens
+            costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
+            # host only selects this mode when NO particle has init
+            return select_init_cost(costs, params.num_rot_search)
+        # crop path: the kernel folds select_init_cost + the kf gate in
+        # (sel_init) and reads back via distinct-slot scatters instead
+        # of an (n_pad, 128) row gather
+        best_cost, best_theta, _ = ps.score_init_sel_mo(
+            maps, stencil, scan, class_weights, p.pose_px(),
+            f / mip, mo, params.num_rot_search,
+            map_resolution * mip,
+        )
+        return best_cost, best_theta
 
     if fused:
 
@@ -479,7 +482,7 @@ def make_update_step_multiscale(
     else:
         scorer = ms.make_score_init_multi(
             n_buckets, bucket_mip_idx, params.num_rot_search,
-            map_resolution, interpret,
+            map_resolution, interpret, sel=True,
         )
 
     @jax.jit
@@ -500,13 +503,13 @@ def make_update_step_multiscale(
             cost = num / den
             cost = jnp.where(kf < 0.5, jnp.nan, cost)
             return cost, p.theta
-        nums, dens, kf = scorer(
+        # sel=True: the kernel already folded select_init_cost + the
+        # kf<0.5 gate in (multiscale.make_score_init_multi)
+        best_cost, best_theta, _ = scorer(
             pyr, stencil, scan, class_weights, p.pose_px(), p.scale,
             slot_vals, res,
         )
-        costs = nums / dens
-        costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
-        return select_init_cost(costs, params.num_rot_search)
+        return best_cost, best_theta
 
     def update(
         state: FilterState,

@@ -258,8 +258,13 @@ def make_score_init_multi(
     map_resolution: float = 1.0,
     interpret: bool = False,
     mo: int = MO_MULTI,
+    sel: bool = False,
 ):
-    """Theta-search scorer over K scale buckets in one kernel pass."""
+    """Theta-search scorer over K scale buckets in one kernel pass.
+
+    sel=True folds the select_init_cost epilogue into the kernel
+    (pallas_score sel_init) and returns (best_cost, best_theta, kf)
+    via distinct-slot scatters (see pallas_score.make_score_init)."""
 
     def score(pyr, stencil, scan, class_weights, center_px, scale,
               slot_vals, res):
@@ -286,8 +291,29 @@ def make_score_init_multi(
         )
         out = ps._run_kernel(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
-            interpret,
+            interpret, sel_init=(num_rot if sel else 0),
+            kf_thresh=0.5 * th * r,
         )
+        if sel:
+            n = center_px.shape[0]
+            inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+            best = jnp.zeros(n, jnp.float32).at[inv].set(
+                out[:, 0], mode="drop"
+            )
+            bk = jnp.zeros(n, jnp.float32).at[inv].set(
+                out[:, 1], mode="drop"
+            )
+            kf_cnt = jnp.zeros(n, jnp.float32).at[inv].set(
+                out[:, 2], mode="drop"
+            )
+            flt_max = float(np.finfo(np.float32).max)
+            best = jnp.where(in_range, best, flt_max)
+            bk = jnp.where(in_range, bk, 0.0)
+            kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
+            best_theta = bk * (2.0 * np.pi / num_rot)
+            return best, best_theta, kf
         rows = out[pos]
         costs = rows[:, :num_rot]
         norms = rows[:, num_rot : 2 * num_rot]

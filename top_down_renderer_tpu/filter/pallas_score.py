@@ -121,9 +121,13 @@ def tracked_p_tile(mo: int) -> int:
 
 
 def init_p_tile(mo: int) -> int:
-    # init-flavor M is 128-wide (x2 hi/lo = 256 rows resident)
+    # init-flavor M is 128-wide (x2 hi/lo = 256 rows resident).  The
+    # r4 on-chip sweep (benchmarks/p_tile_sweep.jsonl): mo=24 init at
+    # p_tile 32/128/256 = 41.7/49.0/44.5 steps/s (102k, spread cloud)
+    # and multi-init 34.4 -> 36.6, so 128 is baked; tracked stays 64
+    # (42.2 at 64 vs 41.6 at 128 - the narrower M amortizes already).
     env = os.environ.get("TDR_P_TILE_INIT")
-    return int(env) if env else {12: 128, 24: 32}[mo]
+    return int(env) if env else {12: 128, 24: 128}[mo]
 
 
 from flax import struct
@@ -363,7 +367,7 @@ def _kernel(
     midx_ref, origins_ref, origins_next_ref, stacked_ref, m_hbm_ref,
     m_scale_ref, locals_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem,
     sems, *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
-    sel: bool = False,
+    sel: bool = False, sel_init: int = 0, kf_thresh: float = 0.0,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
@@ -522,13 +526,50 @@ def _kernel(
                 cost,
                 jnp.where(lane == 1, norm, jnp.where(lane == 2, kf, 0.0)),
             )
+        elif sel_init:
+            # init mode: fold the whole select_init_cost epilogue
+            # (state_particle.cpp:195-206 argmin + NaN->FLT_MAX + the
+            # kf<0.5 gate) into the kernel, emitting (best_cost, argmin
+            # index, kf count) at lanes 0/1/2 so the host reads back
+            # with distinct-slot scatters instead of an (n_pad, 128)
+            # row gather (~0.6 ms of descriptor-bound gather at 102k).
+            nr = sel_init
+            flt_max = float(np.finfo(np.float32).max)
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (p_tile, s_cols), 1
+            )
+            # align den_k (cols nr..2nr) under num_k (cols 0..nr):
+            # rolling left by nr = rolling right by s_cols - nr
+            den = pltpu.roll(res, s_cols - nr, 1)
+            c = res / den
+            c = jnp.where(jnp.isnan(c), flt_max, c)
+            kfc = jnp.sum(
+                jnp.where(lane == 2 * nr, res, 0.0), 1, keepdims=True
+            )
+            # kf < 0.5 gate on the raw known count (kf = kfc/(th*r));
+            # +inf on the non-cost lanes keeps them out of the argmin
+            # while an all-FLT_MAX row still yields (FLT_MAX, k=0)
+            c = jnp.where(kfc < kf_thresh, flt_max, c)
+            c = jnp.where(lane >= nr, jnp.inf, c)
+            best = jnp.min(c, 1, keepdims=True)
+            bk = jnp.min(
+                jnp.where(c == best, lane, s_cols), 1, keepdims=True
+            ).astype(jnp.float32)
+            out_ref[...] = jnp.where(
+                lane == 0,
+                best,
+                jnp.where(lane == 1, bk, jnp.where(lane == 2, kfc, 0.0)),
+            )
         else:
             out_ref[...] = res
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mo", "p_tile", "s_cols", "interpret", "sel"),
+    static_argnames=(
+        "mo", "p_tile", "s_cols", "interpret", "sel", "sel_init",
+        "kf_thresh",
+    ),
 )
 def _run_kernel(
     stacked: jnp.ndarray,
@@ -541,6 +582,8 @@ def _run_kernel(
     interpret: bool = False,
     sel: bool = False,
     locals_: jnp.ndarray | None = None,
+    sel_init: int = 0,
+    kf_thresh: float = 0.0,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     if locals_ is None:
@@ -613,7 +656,8 @@ def _run_kernel(
     return pl.pallas_call(
         functools.partial(
             _kernel, mo=mo, p_tile=p_tile, s_cols=s_cols,
-            interp=interpret, sel=sel,
+            interp=interpret, sel=sel, sel_init=sel_init,
+            kf_thresh=kf_thresh,
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
@@ -746,8 +790,16 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
 
 def make_score_init(mo: int, num_rot: int = 40,
                     map_resolution: float = 1.0,
-                    interpret: bool = False):
-    """Returns a theta-search scorer specialized on the crop bucket."""
+                    interpret: bool = False, sel: bool = False):
+    """Returns a theta-search scorer specialized on the crop bucket.
+
+    sel=False: returns (costs (N, num_rot), norms (N, num_rot), kf (N,))
+    via an (n_pad, 128) row gather — the parity surface.
+    sel=True: the kernel folds the select_init_cost epilogue
+    (state_particle.cpp:195-206) in and the readback is distinct-slot
+    scatters; returns (best_cost (N,), best_theta (N,), kf (N,)) with
+    out-of-range rows pinned to (FLT_MAX, 0, 0) exactly as the
+    sel=False path's 0/0=NaN -> FLT_MAX plumbing would produce."""
 
     def score(maps, stencil, scan, class_weights, center_px, f):
         th, r, _ = stencil.shape
@@ -767,8 +819,29 @@ def make_score_init(mo: int, num_rot: int = 40,
         )
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
-            interpret,
+            interpret, sel_init=(num_rot if sel else 0),
+            kf_thresh=0.5 * th * r,
         )
+        if sel:
+            n = center_px.shape[0]
+            inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+            best = jnp.zeros(n, jnp.float32).at[inv].set(
+                out[:, 0], mode="drop"
+            )
+            bk = jnp.zeros(n, jnp.float32).at[inv].set(
+                out[:, 1], mode="drop"
+            )
+            kf_cnt = jnp.zeros(n, jnp.float32).at[inv].set(
+                out[:, 2], mode="drop"
+            )
+            flt_max = float(np.finfo(np.float32).max)
+            best = jnp.where(in_range, best, flt_max)
+            bk = jnp.where(in_range, bk, 0.0)
+            kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
+            best_theta = bk * (2.0 * np.pi / num_rot)
+            return best, best_theta, kf
         rows = out[pos]
         costs = rows[:, :num_rot]
         norms = rows[:, num_rot : 2 * num_rot]
@@ -797,3 +870,13 @@ def score_init_fast_mo(
     return make_score_init(mo, num_rot, map_resolution, interpret)(
         maps, stencil, scan, class_weights, center_px, f
     )
+
+
+def score_init_sel_mo(
+    maps, stencil, scan, class_weights, center_px, f, mo,
+    num_rot=40, map_resolution=1.0, interpret=False,
+):
+    """In-kernel argmin init scorer: (best_cost, best_theta, kf)."""
+    return make_score_init(
+        mo, num_rot, map_resolution, interpret, sel=True
+    )(maps, stencil, scan, class_weights, center_px, f)
