@@ -27,13 +27,32 @@ NC = int(os.environ.get("PR_NC", "128"))
 
 
 def bench(fn, *args):
-    out = jax.jit(fn)(*args)
+    """Chained in-jit loop: each iteration perturbs the weights with a
+    value derived from the previous output, so XLA can neither hoist
+    the dot out of the loop nor overlap iterations (the original
+    dispatch-loop harness produced physically impossible rates - 5 TB/s
+    of LHS reads - on the axon backend)."""
+    reps = 8
+
+    @jax.jit
+    def run(a, m):
+        def body(i, carry):
+            acc, bump = carry
+            out = fn(a, m ^ bump if m.dtype == jnp.int8 else m + bump)
+            s = out[0, 0]
+            nb = (s != s + 1).astype(m.dtype)  # data-dep, always 0/False
+            return acc + s.astype(jnp.float32), nb
+
+        z = jnp.zeros((), m.dtype)
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), z))
+        return acc
+
+    out = run(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(10):
-        out = jax.jit(fn)(*args)
+    out = run(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / 10 * 1e3
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def main():

@@ -93,6 +93,34 @@ def main():
     goti = np.asarray(nums) / np.asarray(dens)
     kfb = np.broadcast_to(kf_e[:, None], refi.shape)
     check(refi.ravel(), goti.ravel(), kfb.ravel(), "init-hw")
+
+    # sel_init: the in-kernel argmin must agree with the host epilogue
+    # applied to the same kernel's sel=False rows (same f32 math)
+    from top_down_renderer_tpu.filter.filter import select_init_cost
+
+    costs_rows = jnp.asarray(nums) / jnp.asarray(dens)
+    costs_rows = jnp.where(
+        jnp.asarray(kfi)[:, None] < 0.5, jnp.nan, costs_rows
+    )
+    ref_cost, ref_theta = select_init_cost(costs_rows, 40)
+    got_cost, got_theta, kfs = ps.score_init_sel_mo(
+        maps, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), F, mo,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kfs), np.asarray(kfi), atol=1e-5
+    )
+    theta_match = np.mean(
+        np.asarray(got_theta) == np.asarray(ref_theta)
+    )
+    rc, gc = np.asarray(ref_cost), np.asarray(got_cost)
+    rel = np.abs(rc - gc) / np.maximum(np.abs(rc), 1e-9)
+    print(
+        f"sel-init-hw: theta match {theta_match:.3f}  "
+        f"cost median rel {np.median(rel):.2e}"
+    )
+    assert theta_match > 0.99, theta_match
+    assert np.median(rel) < 1e-5
     print("TPU PARITY OK")
 
 

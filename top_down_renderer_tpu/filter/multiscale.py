@@ -289,10 +289,11 @@ def make_score_init_multi(
         origins = origins.at[pos].set(
             jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
         )
+        lokf = not ps.m_hilo()
         out = ps._run_kernel(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
-            kf_thresh=0.5 * th * r,
+            kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
         )
         if sel:
             n = center_px.shape[0]
@@ -318,6 +319,8 @@ def make_score_init_multi(
         costs = rows[:, :num_rot]
         norms = rows[:, num_rot : 2 * num_rot]
         kf_cnt = rows[:, 2 * num_rot]
+        if lokf:
+            kf_cnt = kf_cnt + rows[:, 2 * num_rot + 1]
         kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
         costs = jnp.where(in_range[:, None], costs, 0.0)
         norms = jnp.where(in_range[:, None], norms, 0.0)
@@ -371,6 +374,7 @@ def make_score_tracked_multi(
         out = ps._run_kernel(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
             interpret, sel=True, locals_=loc_pad,
+            lokf=not ps.m_hilo(), kf_col=2 * GW,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)

@@ -130,6 +130,20 @@ def init_p_tile(mo: int) -> int:
     return int(env) if env else {12: 128, 24: 128}[mo]
 
 
+def m_hilo() -> bool:
+    """True (default) = full hi/lo int8 M split: every column gets a lo
+    residual plane (effective ~16-bit M), doubling the contraction's
+    output columns and MACs.  TDR_M_HILO=0 switches to the single-plane
+    'lokf' scheme (only the kf column keeps a lo residual, packed into
+    the adjacent structurally-zero column) - HALF the MACs but measured
+    ~3% systematic cost error at mo=24: the polar stencil's center-cell
+    collisions make column amax ~200x the typical coefficient
+    (median |coef|/amax = 0.005, /tmp/qerr.py round 4), so single-plane
+    per-column int8 underquantizes the light cells.  Kept as a sweep
+    knob to bound the MAC-vs-efficiency question on hardware."""
+    return os.environ.get("TDR_M_HILO", "1") == "1"
+
+
 from flax import struct
 
 
@@ -368,6 +382,7 @@ def _kernel(
     m_scale_ref, locals_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem,
     sems, *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
     sel: bool = False, sel_init: int = 0, kf_thresh: float = 0.0,
+    lokf: bool = False, kf_col: int = -1,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
@@ -499,7 +514,10 @@ def _kernel(
             preferred_element_type=jnp.int32,
         )
         sc = acc.astype(jnp.float32) * m_scale_ref[0]
-        res = sc[:, :s_cols] + sc[:, s_cols:]
+        # lokf: single int8 plane; the kf column's lo residual rides the
+        # adjacent structurally-zero column and is folded at the reads
+        # below.  Legacy hilo: fold the full lo half back per column.
+        res = sc if lokf else sc[:, :s_cols] + sc[:, s_cols:]
         if sel:
             # tracked mode: select each particle's (cost, norm, kf)
             # in-kernel (cheap VPU lane-compare) and emit them at lanes
@@ -520,7 +538,9 @@ def _kernel(
                 jnp.where(lane == loc + GW, res, 0.0), 1,
                 keepdims=True,
             )
-            kf = res[:, 2 * GW][:, None]
+            kf = res[:, kf_col][:, None]
+            if lokf:
+                kf = kf + res[:, kf_col + 1][:, None]
             out_ref[...] = jnp.where(
                 lane == 0,
                 cost,
@@ -543,8 +563,11 @@ def _kernel(
             den = pltpu.roll(res, s_cols - nr, 1)
             c = res / den
             c = jnp.where(jnp.isnan(c), flt_max, c)
+            kf_mask = lane == 2 * nr
+            if lokf:
+                kf_mask = kf_mask | (lane == 2 * nr + 1)
             kfc = jnp.sum(
-                jnp.where(lane == 2 * nr, res, 0.0), 1, keepdims=True
+                jnp.where(kf_mask, res, 0.0), 1, keepdims=True
             )
             # kf < 0.5 gate on the raw known count (kf = kfc/(th*r));
             # +inf on the non-cost lanes keeps them out of the argmin
@@ -568,7 +591,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "mo", "p_tile", "s_cols", "interpret", "sel", "sel_init",
-        "kf_thresh",
+        "kf_thresh", "lokf", "kf_col",
     ),
 )
 def _run_kernel(
@@ -584,6 +607,8 @@ def _run_kernel(
     locals_: jnp.ndarray | None = None,
     sel_init: int = 0,
     kf_thresh: float = 0.0,
+    lokf: bool = False,
+    kf_col: int = -1,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     if locals_ is None:
@@ -613,13 +638,30 @@ def _run_kernel(
     amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_cols)
     s_hi = jnp.maximum(amax, 1e-30) / 127.0
     hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)
-    res = m32 - hi * s_hi[..., None]  # |res| <= s_hi/2
-    s_lo = s_hi / 254.0
-    lo = jnp.clip(jnp.round(res / s_lo[..., None]), -127, 127)
-    m_i8 = jnp.concatenate([hi, lo], axis=1).astype(jnp.int8)
-    m_scale = jnp.concatenate(
-        [s_hi, s_lo], axis=1
-    )[:, None, :]  # (n_var, 1, 2*s_cols)
+    if lokf:
+        # single plane: cost/norm columns are ~2500-term random-rounding
+        # sums (RMS error ~0.02% of signal, within the map's own int8
+        # quantization); only the kf column's lo residual is kept,
+        # packed into column kf_col+1 (structurally zero in every M
+        # layout: tracked 2*GW+1, init/multi 2*num_rot+1)
+        res_kf = m32[:, kf_col] - hi[:, kf_col] * s_hi[:, kf_col, None]
+        s_lo_kf = s_hi[:, kf_col] / 254.0
+        lo_kf = jnp.clip(
+            jnp.round(res_kf / s_lo_kf[:, None]), -127, 127
+        )
+        hi = hi.at[:, kf_col + 1].set(lo_kf)
+        m_i8 = hi.astype(jnp.int8)
+        m_scale = s_hi.at[:, kf_col + 1].set(s_lo_kf)[:, None, :]
+        m_cols = s_cols
+    else:
+        res = m32 - hi * s_hi[..., None]  # |res| <= s_hi/2
+        s_lo = s_hi / 254.0
+        lo = jnp.clip(jnp.round(res / s_lo[..., None]), -127, 127)
+        m_i8 = jnp.concatenate([hi, lo], axis=1).astype(jnp.int8)
+        m_scale = jnp.concatenate(
+            [s_hi, s_lo], axis=1
+        )[:, None, :]  # (n_var, 1, 2*s_cols)
+        m_cols = 2 * s_cols
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -637,7 +679,7 @@ def _run_kernel(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # M variants, manual DMA
             pl.BlockSpec(  # per-variant dequant row, auto-piped to VMEM
-                (1, 1, 2 * s_cols),
+                (1, 1, m_cols),
                 lambda i, m: (jnp.maximum(m[i], 0) // RX, 0, 0),
             ),
             pl.BlockSpec(  # per-particle window column (sel mode)
@@ -647,7 +689,7 @@ def _run_kernel(
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.int8),
-            pltpu.VMEM((2 * s_cols, k), jnp.int8),
+            pltpu.VMEM((m_cols, k), jnp.int8),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -657,7 +699,7 @@ def _run_kernel(
         functools.partial(
             _kernel, mo=mo, p_tile=p_tile, s_cols=s_cols,
             interp=interpret, sel=sel, sel_init=sel_init,
-            kf_thresh=kf_thresh,
+            kf_thresh=kf_thresh, lokf=lokf, kf_col=kf_col,
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
@@ -766,7 +808,8 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
         loc_pad = jnp.zeros((n_pad, 1), jnp.int32).at[pos, 0].set(local)
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
-            interpret, sel=True, locals_=loc_pad,
+            interpret, sel=True, locals_=loc_pad, lokf=not m_hilo(),
+            kf_col=2 * GW,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)
@@ -817,10 +860,11 @@ def make_score_init(mo: int, num_rot: int = 40,
         origins = origins.at[pos].set(
             jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
         )
+        lokf = not m_hilo()
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
-            kf_thresh=0.5 * th * r,
+            kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
         )
         if sel:
             n = center_px.shape[0]
@@ -846,6 +890,8 @@ def make_score_init(mo: int, num_rot: int = 40,
         costs = rows[:, :num_rot]
         norms = rows[:, num_rot : 2 * num_rot]
         kf_cnt = rows[:, 2 * num_rot]  # init mode: row gather is needed
+        if lokf:
+            kf_cnt = kf_cnt + rows[:, 2 * num_rot + 1]
         kf = jnp.where(in_range, kf_cnt / (th * r), 0.0)
         costs = jnp.where(in_range[:, None], costs, 0.0)
         norms = jnp.where(in_range[:, None], norms, 0.0)
