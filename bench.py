@@ -198,12 +198,14 @@ def main():
     # warmup / compile
     st = full_step(state, scan)
     st = full_step(st, scan)
-    jax.block_until_ready(st)
+    # a device->host VALUE read fences the (serial) device queue:
+    # jax.block_until_ready can return early on the axon backend
+    float(np.asarray(st.particles.weight[0]))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         st = full_step(st, scan)
-    jax.block_until_ready(st)
+    float(np.asarray(st.particles.weight[0]))
     dt = time.perf_counter() - t0
 
     steps_per_s = steps / dt

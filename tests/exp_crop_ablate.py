@@ -119,6 +119,26 @@ def _kernel(
             # (64 px) cover it with a 128-aligned static slice
             rolled = rolled[:, :, :trim]
         flat = rolled.reshape(p_tile, dr * trim if trim else dr * dc8)
+        if mm == "bf16":
+            # single bf16 plane, s_cols output columns: tests whether
+            # the dot is col-tile-streaming-bound (if so this matches
+            # the int8 hi/lo dot for 64-col tracked and halves the
+            # 256-col init)
+            acc = jax.lax.dot_general(
+                flat.astype(jnp.bfloat16), m_buf[...],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[...] = acc[:, :s_cols] * m_scale_ref[0, :, :s_cols]
+            return
+        if mm == "mixed":
+            # int8 LHS x bf16 RHS: does Mosaic convert at stream time?
+            acc = jax.lax.dot_general(
+                flat, m_buf[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[...] = acc[:, :s_cols] * m_scale_ref[0, :, :s_cols]
+            return
         if mt:
             acc = jax.lax.dot_general(
                 flat, m_buf[...], (((1,), (0,)), ((), ())),
@@ -161,8 +181,7 @@ def build(stacked, origins, midx, m_i8, m_scale, *, dma, roll, mm,
         out_specs=pl.BlockSpec((P_TILE, S_COLS), lambda i, m: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, P_TILE, dr, dc * 8), jnp.int8),
-            pltpu.VMEM((k, 2 * S_COLS) if mt else (2 * S_COLS, k),
-                       jnp.int8),
+            pltpu.VMEM(tuple(m_i8.shape[1:]), m_i8.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -234,28 +253,43 @@ def main():
         ("mm_only", dict(dma=False, roll=True, mm=True)),
         ("mm_only_t", dict(dma=False, roll=True, mm=True, mt=True)),
         ("full_trim", dict(dma=True, roll=True, mm=True, trim=512)),
+        ("mm_only_bf16", dict(dma=False, roll=True, mm="bf16")),
+        ("mm_only_mixed", dict(dma=False, roll=True, mm="mixed")),
+        ("full_bf16", dict(dma=True, roll=True, mm="bf16")),
+        ("full_bf16_trim", dict(dma=True, roll=True, mm="bf16",
+                                trim=512)),
     )
     if ONLY:
         names = set(ONLY.split(","))
         abls = tuple(a for a in abls if a[0] in names)
     dr, dc8 = ps.crop_dims(MO)[0], ps.crop_dims(MO)[1] * 8
+    # bf16 single-plane M at S_COLS rows (tracked M tiled up if needed)
+    reps_bf = max(1, S_COLS // m_var.shape[1])
+    m_bf = jnp.concatenate([m_var.astype(jnp.bfloat16)] * reps_bf,
+                           axis=1)[:, :S_COLS]
+    jax.block_until_ready(m_bf)
+
     for name, kw in abls:
-        mi = m_i8_t if kw.get("mt") else m_i8
+        bf = kw.get("mm") in ("bf16", "mixed")
+        mi = m_bf if bf else (m_i8_t if kw.get("mt") else m_i8)
         if kw.get("trim"):
             t = kw["trim"]
             nv = m_i8.shape[0]
+            src, rows = (m_bf, S_COLS) if bf else (m_i8, 128)
             mi = (
-                m_i8.reshape(nv, 128, dr, dc8)[..., :t]
-                .reshape(nv, 128, dr * t)
+                src.reshape(nv, rows, dr, dc8)[..., :t]
+                .reshape(nv, rows, dr * t)
             )
             jax.block_until_ready(mi)
         fn = build(maps.stacked, origins, midx, mi, m_scale, **kw)
         out = fn()
-        out.block_until_ready()
+        float(out[0, 0])  # axon: block_until_ready can return early
         t0 = time.perf_counter()
         for _ in range(20):
             out = fn()
-        out.block_until_ready()
+        # the device queue is a single serial stream, so reading the
+        # LAST output's value forces completion of all 20
+        float(out[0, 0])
         dt = (time.perf_counter() - t0) / 20 * 1e3
         print(f"{name:9s} {dt:8.3f} ms  ({dt/n_tiles*1e3:6.2f} us/tile)")
 

@@ -39,19 +39,24 @@ def bench(fn, *args):
         def body(i, carry):
             acc, bump = carry
             out = fn(a, m ^ bump if m.dtype == jnp.int8 else m + bump)
-            s = out[0, 0]
-            nb = (s != s + 1).astype(m.dtype)  # data-dep, always 0/False
+            # consume via min: no algebraic shortcut exists (slicing or
+            # sum-reassociation both let XLA skip the full matmul)
+            s = out.min()
+            if m.dtype == jnp.int8:
+                nb = ((s >> 31) & 1).astype(jnp.int8)
+            else:
+                nb = jnp.isnan(s).astype(m.dtype)
             return acc + s.astype(jnp.float32), nb
 
         z = jnp.zeros((), m.dtype)
         acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), z))
         return acc
 
-    out = run(*args)
-    jax.block_until_ready(out)
+    # float() forces a device->host read: on the axon remote backend
+    # block_until_ready returns before execution finishes
+    float(run(*args))
     t0 = time.perf_counter()
-    out = run(*args)
-    jax.block_until_ready(out)
+    float(run(*args))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
