@@ -367,7 +367,12 @@ def make_update_step_fast(
 
     if fused:
 
-        @jax.jit
+        # donate the state: the filter's caller never reads the
+        # pre-step state after update() (pose_stats keys its prefetch
+        # cache on object identity; _fast_mode's host reads complete
+        # before this dispatch), so XLA can write particle buffers
+        # in place instead of allocating a fresh ~4 MB set per step
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(
             state: FilterState,
             maps,
