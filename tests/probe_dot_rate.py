@@ -79,7 +79,8 @@ def main():
             ),
             a, m,
         )
-        print(f"{name:10s} {dt:8.2f} ms  {flops/dt/1e9:8.1f} GFLOP/s")
+        # dt is in ms: flops/dt/1e9 = TFLOP/s
+        print(f"{name:10s} {dt:8.2f} ms  {flops/dt/1e9:8.1f} TFLOP/s")
 
 
 if __name__ == "__main__":

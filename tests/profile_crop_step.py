@@ -72,8 +72,7 @@ def main():
     )
     mo = ps.pick_crop_size(SCALE * RES, R)
     maps = ps.build_padded_maps(packed)
-    cw = jnp.ones(C + (8 - C) % 8 if C < 8 else C, jnp.float32)
-    cw = jnp.ones(8, jnp.float32).at[C:].set(0.0)
+    cw = jnp.ones(C, jnp.float32)
     update = make_update_step_fast(
         params, grid_num_classes=C, map_resolution=1.0, theta_bins=TH,
         n_max=N, mode=MODE, mo=mo, gmm_every=10, path="crop",
@@ -161,7 +160,7 @@ def main():
     timeit("group_layout", jax.jit(layout))
 
     # 6. tail: weights + resample/stats/gmm
-    tail = make_tail_fn(params, N, 16, 10, TH)
+    tail = make_tail_fn(params, N, 8, 10, TH)
     cost = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (N,)))
     timeit(
         "tail(weights+resample)",

@@ -54,3 +54,31 @@ def test_trim_clears_roll_wrap(mo):
     assert t % 128 == 0
     # wrap garbage occupies lanes [dc8 - rx8, dc8); worst rx
     assert t <= dc * ps.C_PAD - (ps.RX - 1) * ps.C_PAD
+
+
+def test_group_layout_counting_matches_argsort():
+    """The counting-sort layout (n_groups<=256, n%512==0) must equal
+    the argsort path bit for bit: same pos, same tile keys."""
+    import numpy as np
+    import jax.numpy as jnp
+    from top_down_renderer_tpu.filter import pallas_score as ps
+
+    rng = np.random.default_rng(3)
+    for g, p_tile in ((112, 64), (16, 128), (3, 64), (256, 32)):
+        n = 2048
+        key = rng.integers(0, g, n).astype(np.int32)
+        key[:50] = g - 1  # ensure an uneven group + empty groups
+        kj = jnp.asarray(key)
+        pos_c, tk_c, npad_c = ps._group_layout(kj, g, p_tile)
+        # force the argsort fallback by breaking the n%block condition
+        block = ps._COUNT_BLOCK
+        try:
+            ps._COUNT_BLOCK = n + 1
+            pos_a, tk_a, npad_a = ps._group_layout(kj, g, p_tile)
+        finally:
+            ps._COUNT_BLOCK = block
+        assert npad_c == npad_a
+        np.testing.assert_array_equal(np.asarray(pos_c),
+                                      np.asarray(pos_a))
+        np.testing.assert_array_equal(np.asarray(tk_c),
+                                      np.asarray(tk_a))

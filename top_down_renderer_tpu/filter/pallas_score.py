@@ -713,34 +713,69 @@ def _run_kernel(
     )(midx, origins, origins, stacked, m_i8, m_scale, locals_)
 
 
+_COUNT_BLOCK = 512  # counting-layout block rows (any multiple works)
+
+
 def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
-    """Sort particles into per-group tile-padded slots.
+    """Stable-group particles into per-group tile-padded slots.
 
     Returns (pos (N,) int32 slot per particle, tile_key (n_tiles,),
     n_pad static).  Empty groups consume NO slots (zero padding), so
     live tiles pack at the front and the tail tiles carry the -1
     sentinel - the kernel skips their crop DMA and matmul entirely
     (at K-bucket variant counts the unconditional per-key padding was
-    ~2.7 GB/step of dead crop traffic)."""
+    ~2.7 GB/step of dead crop traffic).
+
+    For small group counts the stable rank comes from a blocked one-hot
+    cumsum (counting sort) instead of argsort: ~2 ms cheaper at 102,400
+    particles on v5e (tests/profile_layout.py), exact-parity-tested
+    against the argsort path."""
     n = key.shape[0]
     n_pad = ((n + p_tile - 1) // p_tile + n_groups) * p_tile
-    counts = jnp.bincount(key, length=n_groups)
-    padded = jnp.where(
-        counts > 0, ((counts + p_tile - 1) // p_tile) * p_tile, 0
-    )
-    starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
-    )
-    excl = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
-    order = jnp.argsort(key, stable=True)
-    key_sorted = key[order]
-    rank = jnp.arange(n, dtype=jnp.int32) - excl[key_sorted]
-    pos_sorted = starts[key_sorted] + rank
-    pos = jnp.zeros(n, jnp.int32).at[order].set(pos_sorted)
-
-    keypad = jnp.full(n_pad, -1, jnp.int32).at[pos_sorted].set(key_sorted)
+    nb = _COUNT_BLOCK
+    if n_groups <= 256 and n % nb == 0:
+        b = n // nb
+        oh = (
+            key.reshape(b, nb)[..., None]
+            == jnp.arange(n_groups, dtype=key.dtype)
+        ).astype(jnp.int32)  # (b, nb, G)
+        within = jnp.cumsum(oh, axis=1) - oh  # exclusive, in-block
+        block_tot = jnp.sum(oh, axis=1)  # (b, G)
+        block_off = jnp.cumsum(block_tot, axis=0) - block_tot
+        counts = jnp.sum(block_tot, axis=0)  # (G,)
+        padded = jnp.where(
+            counts > 0, ((counts + p_tile - 1) // p_tile) * p_tile, 0
+        )
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+        )
+        # fold starts[key] into the same one-hot contraction (avoids a
+        # 102k-descriptor table gather)
+        pos2d = within + block_off[:, None, :] + starts[None, None, :]
+        pos = jnp.sum(pos2d * oh, axis=-1).reshape(n)
+        keypad = jnp.full(n_pad, -1, jnp.int32).at[pos].set(key)
+    else:
+        counts = jnp.bincount(key, length=n_groups)
+        padded = jnp.where(
+            counts > 0, ((counts + p_tile - 1) // p_tile) * p_tile, 0
+        )
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+        )
+        excl = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+        order = jnp.argsort(key, stable=True)
+        key_sorted = key[order]
+        rank = jnp.arange(n, dtype=jnp.int32) - excl[key_sorted]
+        pos_sorted = starts[key_sorted] + rank
+        pos = jnp.zeros(n, jnp.int32).at[order].set(pos_sorted)
+        keypad = jnp.full(n_pad, -1, jnp.int32).at[pos_sorted].set(
+            key_sorted
+        )
     n_tiles = n_pad // p_tile
     tile_key = jnp.max(keypad.reshape(n_tiles, p_tile), axis=1)
     return pos, tile_key, n_pad
