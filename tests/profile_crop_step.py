@@ -41,14 +41,18 @@ SCALE, RES = 2.0, 0.5  # f = 1.0 -> mo 24
 
 
 def timeit(name, f, *args, reps=10):
+    # fence with a device-side scalar read: np.asarray(leaf) would pull
+    # the whole output over the axon tunnel (a 64 MB M table read as
+    # ~170 ms of phantom "compute"); see tests/profile_stage_multi.py
+    # for the explicit-arg staged version of this probe
     out = f(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])  # fence (axon early-return)
+    float(leaf.ravel()[0])  # fence (axon early-return)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    float(leaf.ravel()[0])
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:28s} {dt * 1000:9.2f} ms")
     return dt

@@ -64,7 +64,10 @@ def test_group_layout_counting_matches_argsort():
     from top_down_renderer_tpu.filter import pallas_score as ps
 
     rng = np.random.default_rng(3)
-    for g, p_tile in ((112, 64), (16, 128), (3, 64), (256, 32)):
+    # g > 256 exercises the two-pass LSD radix counting path (the
+    # K-bucket multi layouts: K * N_GROUPS * RX = 1120 at K=10)
+    for g, p_tile in ((112, 64), (16, 128), (3, 64), (256, 32),
+                      (1120, 64), (257, 32), (300, 128)):
         n = 2048
         key = rng.integers(0, g, n).astype(np.int32)
         key[:50] = g - 1  # ensure an uneven group + empty groups

@@ -634,6 +634,10 @@ def _run_kernel(
     # the bf16 M it replaces): a single int8 plane is not enough - the
     # kf count column's coefficients span [1, kmax] collisions and a
     # 0.5/127*kmax rounding bias showed up as a +3% kf error.
+    # one reduce pass (amax) + one quantize pass: operands are cast to
+    # int8 INSIDE the concat so XLA fuses the whole elementwise chain
+    # into the int8 concat write instead of materializing f32 hi/res/lo
+    # copies of a table that reaches 321 MB on the K-bucket multi path
     m32 = m_var.astype(jnp.float32)
     amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_cols)
     s_hi = jnp.maximum(amax, 1e-30) / 127.0
@@ -654,10 +658,14 @@ def _run_kernel(
         m_scale = s_hi.at[:, kf_col + 1].set(s_lo_kf)[:, None, :]
         m_cols = s_cols
     else:
-        res = m32 - hi * s_hi[..., None]  # |res| <= s_hi/2
         s_lo = s_hi / 254.0
-        lo = jnp.clip(jnp.round(res / s_lo[..., None]), -127, 127)
-        m_i8 = jnp.concatenate([hi, lo], axis=1).astype(jnp.int8)
+        lo = jnp.clip(  # residual |m32 - hi*s_hi| <= s_hi/2
+            jnp.round((m32 - hi * s_hi[..., None]) / s_lo[..., None]),
+            -127, 127,
+        )
+        m_i8 = jnp.concatenate(
+            [hi.astype(jnp.int8), lo.astype(jnp.int8)], axis=1
+        )
         m_scale = jnp.concatenate(
             [s_hi, s_lo], axis=1
         )[:, None, :]  # (n_var, 1, 2*s_cols)
@@ -716,6 +724,67 @@ def _run_kernel(
 _COUNT_BLOCK = 512  # counting-layout block rows (any multiple works)
 
 
+def _counting_pos(key: jnp.ndarray, n_groups: int,
+                  p_tile: int | None = None):
+    """Stable counting-sort rank of `key` via a blocked one-hot rank.
+
+    Returns (pos (N,) int32, counts (G,) int32) where pos is the
+    element's stable position in group-major order; with p_tile the
+    group starts are tile-padded (empty groups consume no slots),
+    without it they are the plain exclusive count cumsum (a stable
+    sort).  Requires n % _COUNT_BLOCK == 0 and n_groups <= 256
+    (one-hot materialization is n*G words).
+
+    The within-block exclusive rank is a strict-lower-triangular bf16
+    MXU matmul rather than a lax.cumsum: the log-step cumsum makes ~9
+    full passes over the (n, G) one-hot in HBM while the matmul
+    streams it once through the MXU (counts <= _COUNT_BLOCK are exact
+    in the f32 accumulator)."""
+    n = key.shape[0]
+    nb = _COUNT_BLOCK
+    b = n // nb
+    k2 = key.reshape(b, nb)
+    eq = k2[..., None] == jnp.arange(n_groups, dtype=key.dtype)
+    ohb = eq.astype(jnp.bfloat16)  # (b, nb, G)
+    ltri = jnp.tril(jnp.ones((nb, nb), jnp.bfloat16), -1)
+    within = jax.lax.dot_general(
+        ohb, ltri,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (b, G, nb): within[b, g, i] = #{j < i : key[b, j] == g}
+    block_tot = (
+        within[:, :, -1] + ohb[:, -1, :].astype(jnp.float32)
+    ).astype(jnp.int32)  # (b, G) total per block
+    block_off = jnp.cumsum(block_tot, axis=0) - block_tot
+    counts = jnp.sum(block_tot, axis=0)  # (G,)
+    if p_tile is not None:
+        starts = _padded_starts(counts, p_tile)
+    else:
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+    # fold starts[key] into the same one-hot contraction (avoids a
+    # 102k-descriptor table gather)
+    pos2d = (
+        within.swapaxes(1, 2).astype(jnp.int32)
+        + block_off[:, None, :]
+        + starts[None, None, :]
+    )  # (b, nb, G)
+    pos = jnp.sum(jnp.where(eq, pos2d, 0), axis=-1).reshape(n)
+    return pos, counts
+
+
+def _padded_starts(counts: jnp.ndarray, p_tile: int):
+    padded = jnp.where(
+        counts > 0, ((counts + p_tile - 1) // p_tile) * p_tile, 0
+    )
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+
+
 def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
     """Stable-group particles into per-group tile-padded slots.
 
@@ -728,32 +797,64 @@ def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
 
     For small group counts the stable rank comes from a blocked one-hot
     cumsum (counting sort) instead of argsort: ~2 ms cheaper at 102,400
-    particles on v5e (tests/profile_layout.py), exact-parity-tested
-    against the argsort path."""
+    particles on v5e (tests/profile_layout.py).  Group counts up to
+    65536 (the K-bucket multi paths: K*N_GROUPS*RX = 1120 at K=10) run
+    a two-pass LSD radix of the same blocked counting rank - XLA's
+    sort at 102k plus the rank gathers cost several ms while each
+    radix digit stays under the 256-group one-hot budget.  Both are
+    exact-parity-tested against the argsort path (tests/test_trim.py)."""
     n = key.shape[0]
     n_pad = ((n + p_tile - 1) // p_tile + n_groups) * p_tile
     nb = _COUNT_BLOCK
     if n_groups <= 256 and n % nb == 0:
-        b = n // nb
-        oh = (
-            key.reshape(b, nb)[..., None]
-            == jnp.arange(n_groups, dtype=key.dtype)
-        ).astype(jnp.int32)  # (b, nb, G)
-        within = jnp.cumsum(oh, axis=1) - oh  # exclusive, in-block
-        block_tot = jnp.sum(oh, axis=1)  # (b, G)
-        block_off = jnp.cumsum(block_tot, axis=0) - block_tot
-        counts = jnp.sum(block_tot, axis=0)  # (G,)
-        padded = jnp.where(
-            counts > 0, ((counts + p_tile - 1) // p_tile) * p_tile, 0
-        )
-        starts = jnp.concatenate(
+        # single pass: the padded group starts fold into the rank
+        pos, _ = _counting_pos(key, n_groups, p_tile)
+        keypad = jnp.full(n_pad, -1, jnp.int32).at[pos].set(key)
+    elif n_groups <= 65536 and n % nb == 0:
+        # two-pass LSD radix: stable counting rank by lo digit, permute,
+        # stable counting rank by hi digit => full (hi, lo) = key order.
+        import math
+
+        b2 = 1 << max(1, (math.isqrt(n_groups - 1).bit_length()))
+        g1 = -(-n_groups // b2)
+        lo = jax.lax.rem(key, b2)
+        hi = key // b2
+        pos1, _ = _counting_pos(lo, b2)
+        key_s = jnp.zeros(n, key.dtype).at[pos1].set(key)
+        q_s, _ = _counting_pos(key_s // b2, g1)
+        # per-full-key counts (exact small ints in f32): blocked
+        # oh_hi^T @ oh_lo - the scatter-add bincount alternative
+        # collision-serializes on TPU
+        bb = n // nb
+        oh_lo = (
+            lo.reshape(bb, nb)[..., None]
+            == jnp.arange(b2, dtype=key.dtype)
+        ).astype(jnp.bfloat16)
+        oh_hi = (
+            hi.reshape(bb, nb)[..., None]
+            == jnp.arange(g1, dtype=key.dtype)
+        ).astype(jnp.bfloat16)
+        counts2 = jnp.sum(
+            jax.lax.dot_general(
+                oh_hi, oh_lo,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ),
+            axis=0,
+        )  # (g1, b2)
+        counts = counts2.reshape(g1 * b2).astype(jnp.int32)
+        ustarts = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
-             jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)]
         )
-        # fold starts[key] into the same one-hot contraction (avoids a
-        # 102k-descriptor table gather)
-        pos2d = within + block_off[:, None, :] + starts[None, None, :]
-        pos = jnp.sum(pos2d * oh, axis=-1).reshape(n)
+        adj = _padded_starts(counts, p_tile) - ustarts  # (g1*b2,)
+        # route q_s back to original index order with two distinct-slot
+        # scatters (inv1 is a permutation), then add the pad adjustment
+        inv1 = jnp.zeros(n, jnp.int32).at[pos1].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        q = jnp.zeros(n, jnp.int32).at[inv1].set(q_s)
+        pos = q + adj[key]
         keypad = jnp.full(n_pad, -1, jnp.int32).at[pos].set(key)
     else:
         counts = jnp.bincount(key, length=n_groups)
