@@ -11,7 +11,7 @@ user migrating from KumarRobotics/top_down_renderer would:
      shifted center, and keep tracking in the shifted frame.
 
 Regression fingerprint (seed 0, 2048 particles, TPU): converged err
-~2.33 px, cov_xx ~4.7 (see .claude/skills/verify/SKILL.md).  CPU runs
+~3.42 px, cov_xx ~5.6 (see .claude/skills/verify/SKILL.md).  CPU runs
 use the same world but the slow exact path; expect err < 8 px.
 
 Usage: python tests/drive_consumer.py [--cpu] [--particles N]

@@ -216,9 +216,10 @@ def _origins_pyramid(
 
 def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
                        qinv=None):
-    """(K, 128, Kext): one theta-search M per bucket (the kernel
-    handles the x-residual by rotating the crop).  f_eff: (K,)
-    effective scale*res/mip per bucket."""
+    """(K, 2*num_rot+2, Kext): one theta-search M per bucket (the
+    kernel handles the x-residual by rotating the crop; _run_kernel
+    zero-pads the unused columns post-quant).  f_eff: (K,) effective
+    scale*res/mip per bucket."""
     m = jax.vmap(
         lambda f: build_m_init(
             scan, class_weights, stencil, f, mo, num_rot, qinv
@@ -229,7 +230,8 @@ def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
 
 def build_m_tracked_multi(scan, class_weights, stencil, f_eff, mo,
                           qinv=None):
-    """(K*N_GROUPS, 64, Kext): tracked variant table, bucket-major."""
+    """(K*N_GROUPS, 2*GW+2, Kext): tracked variant table, bucket-major
+    (used columns only; _run_kernel zero-pads post-quant)."""
     m = jax.vmap(
         lambda f: build_m_tracked(scan, class_weights, stencil, f, mo,
                                   qinv)

@@ -323,8 +323,8 @@ def build_m_tracked(
     mo: int,
     qinv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """(N_GROUPS, 64, K) bf16 variants for tracked mode, transposed so
-    the kernel's manual M DMA slices along the 128-aligned K minor.
+    """(N_GROUPS, 2*GW+2, K) bf16 variants for tracked mode, transposed
+    so the kernel's manual M DMA slices along the 128-aligned K minor.
 
     Variant g columns: [0:16) cost at shifts [16g, 16g+16), [16:32)
     norm at the same shifts, [32] known count.  The x-residual is NOT a
@@ -342,8 +342,13 @@ def build_m_tracked(
     cols = (
         jnp.arange(N_GROUPS)[:, None] * GW + jnp.arange(GW)[None, :]
     ) % th  # (7, 16)
+    # only the USED columns (2*GW cost/norm + kf + lokf slot = 34 of
+    # the kernel's 64): _run_kernel zero-pads post-quant, halving the
+    # build matmul's M dim
     base_t = jax.vmap(
-        lambda cc, nc: _build_base_t(mo, py, px, c, cc, nc, 64, qinv)
+        lambda cc, nc: _build_base_t(
+            mo, py, px, c, cc, nc, 2 * GW + 2, qinv
+        )
     )(
         jnp.moveaxis(cost_circ[:, cols], 1, 0),  # (7, TR*C, 16)
         jnp.moveaxis(norm_circ[:, cols], 1, 0),  # (7, TR, 16)
@@ -360,10 +365,10 @@ def build_m_init(
     num_rot: int = 40,
     qinv: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """(1, 128, K) bf16 for the theta-search mode: cols [0:num_rot)
-    cost at the search shifts, [num_rot:2*num_rot) norm, [2*num_rot]
-    kf.  Single variant - the kernel handles the x-residual by rotating
-    the crop."""
+    """(1, 2*num_rot+2, K) bf16 for the theta-search mode: cols
+    [0:num_rot) cost at the search shifts, [num_rot:2*num_rot) norm,
+    [2*num_rot] kf.  Single variant - the kernel handles the x-residual
+    by rotating the crop."""
     c, th, r = scan.shape
     dr, dc = crop_dims(mo)
     k = dr * dc * C_PAD
@@ -371,10 +376,13 @@ def build_m_init(
     cost_circ = cost_circ.reshape(th * r * c, th)
     ssh = search_shifts(th, num_rot)
     py, px = _stencil_pix(stencil, f, mo)
+    # used columns only (2*num_rot + kf + lokf slot = 82 of the
+    # kernel's 128); _run_kernel zero-pads post-quant
     base_t = _build_base_t(
-        mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh], 128, qinv
-    )  # (128, Kext)
-    return base_t[None, :, :k]  # (1, 128, K)
+        mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh],
+        2 * num_rot + 2, qinv
+    )  # (2*num_rot+2, Kext)
+    return base_t[None, :, :k]  # (1, 2*num_rot+2, K)
 
 
 def _kernel(
@@ -638,8 +646,16 @@ def _run_kernel(
     # int8 INSIDE the concat so XLA fuses the whole elementwise chain
     # into the int8 concat write instead of materializing f32 hi/res/lo
     # copies of a table that reaches 321 MB on the K-bucket multi path
+    # builders emit only the USED columns (tracked 34 of 64, init 82 of
+    # 128: cost+norm+kf+lokf slot) - the build matmul's M dim shrinks
+    # ~2x while the kernel keeps its full s_cols lane tiling; the
+    # missing columns are padded HERE in the int8 domain (zero rows
+    # contribute 0 to the accumulator regardless of scale)
+    s_m = m_var.shape[1]
+    pad_m = [(0, 0), (0, s_cols - s_m), (0, 0)]
+    pad_s = [(0, 0), (0, s_cols - s_m)]
     m32 = m_var.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_cols)
+    amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_m)
     s_hi = jnp.maximum(amax, 1e-30) / 127.0
     hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)
     if lokf:
@@ -654,8 +670,11 @@ def _run_kernel(
             jnp.round(res_kf / s_lo_kf[:, None]), -127, 127
         )
         hi = hi.at[:, kf_col + 1].set(lo_kf)
-        m_i8 = hi.astype(jnp.int8)
-        m_scale = s_hi.at[:, kf_col + 1].set(s_lo_kf)[:, None, :]
+        m_i8 = jnp.pad(hi.astype(jnp.int8), pad_m)
+        m_scale = jnp.pad(
+            s_hi.at[:, kf_col + 1].set(s_lo_kf), pad_s,
+            constant_values=1.0,
+        )[:, None, :]
         m_cols = s_cols
     else:
         s_lo = s_hi / 254.0
@@ -664,10 +683,12 @@ def _run_kernel(
             -127, 127,
         )
         m_i8 = jnp.concatenate(
-            [hi.astype(jnp.int8), lo.astype(jnp.int8)], axis=1
+            [jnp.pad(hi.astype(jnp.int8), pad_m),
+             jnp.pad(lo.astype(jnp.int8), pad_m)], axis=1
         )
         m_scale = jnp.concatenate(
-            [s_hi, s_lo], axis=1
+            [jnp.pad(s_hi, pad_s, constant_values=1.0),
+             jnp.pad(s_lo, pad_s, constant_values=1.0)], axis=1
         )[:, None, :]  # (n_var, 1, 2*s_cols)
         m_cols = 2 * s_cols
     gs = pltpu.PrefetchScalarGridSpec(
