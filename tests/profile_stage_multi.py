@@ -56,14 +56,16 @@ def timeit(name, f, *args, reps=10):
 
 
 def quant_hilo(m_var, mo):
-    """The _run_kernel trim + hi/lo int8 quant, stage-isolated."""
+    """The _run_kernel hi/lo int8 quant, stage-isolated (the builders
+    emit the trimmed dr*t layout directly since round 4)."""
     dr, dc = ps.crop_dims(mo)
     t = ps.trim_lanes(mo)
     n_var, s_m = m_var.shape[0], m_var.shape[1]
-    mv = m_var.reshape(n_var, s_m, dr, dc * ps.C_PAD)[..., :t].reshape(
-        n_var, s_m, dr * t
-    )
-    m32 = mv.astype(jnp.float32)
+    if m_var.shape[2] == dr * dc * ps.C_PAD and t < dc * ps.C_PAD:
+        m_var = m_var.reshape(n_var, s_m, dr, dc * ps.C_PAD)[
+            ..., :t
+        ].reshape(n_var, s_m, dr * t)
+    m32 = m_var.astype(jnp.float32)
     amax = jnp.max(jnp.abs(m32), axis=-1)
     s_hi = jnp.maximum(amax, 1e-30) / 127.0
     hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)
@@ -201,6 +203,122 @@ def multi(state, packed, stencil, scan):
           f"/{tk.size}")
     timeit("group_layout", jax.jit(layout), p.pose_px(), p.theta,
            scale, slots)
+
+    # ---- build sub-stages: where do the build's 10+ ms go? ----------
+    from top_down_renderer_tpu.filter.scoring import build_circulants
+
+    f_eff = np.asarray(slots) * RES  # host mips applied below
+    mips_h = np.asarray([levels[i] for i in bmi], np.float32)
+    f_eff = jnp.asarray(f_eff / mips_h)
+    dr, dc = ps.crop_dims(mo)
+    t = ps.trim_lanes(mo)
+
+    def sub_pix(sc, w, sten):
+        cost_circ, norm_circ = build_circulants(sc, w)
+        cost_circ = cost_circ.reshape(TH * R * C, TH)
+        cols = (
+            jnp.arange(ps.N_GROUPS)[:, None] * ps.GW
+            + jnp.arange(ps.GW)[None, :]
+        ) % TH
+        ccs = jnp.moveaxis(cost_circ[:, cols], 1, 0)
+        ncs = jnp.moveaxis(norm_circ[:, cols], 1, 0)
+        return ccs, ncs
+
+    ccs, ncs = jax.jit(sub_pix)(scan, cw, stencil)
+    timeit("  b:circulants+cols", jax.jit(sub_pix), scan, cw, stencil)
+
+    def sub_y(sc, w, sten, fe, qi):
+        """matmul only: per-bucket vmapped _build_base_y (no final
+        (C_PAD, s, slots)->(s, slots*C_PAD) relayout, no bf16 cast)."""
+        ccs2, ncs2 = sub_pix(sc, w, sten)
+
+        def one(f):
+            py, px = ps._stencil_pix(sten, f, mo)
+            pix8 = py * t + px * ps.C_PAD
+            return jax.vmap(
+                lambda cc, nc: ps._build_base_y_from_pix(
+                    pix8, dr * t, C, cc, nc, 2 * ps.GW + 2, qi
+                )
+            )(ccs2, ncs2)
+
+        return jax.vmap(one)(fe)
+
+    timeit("  b:y matmul(no relayout)", jax.jit(sub_y), scan, cw,
+           stencil, f_eff, pyr.qinv)
+
+    def sub_full(sc, w, sten, fe, qi):
+        return msc.build_m_tracked_multi(sc, w, sten, fe, mo, qi)
+
+    timeit("  b:full build(relayout)", jax.jit(sub_full), scan, cw,
+           stencil, f_eff, pyr.qinv)
+
+    # quant sub-stages on the built table
+    def q_nopad(m):
+        m32 = m.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(m32), axis=-1)
+        s_hi = jnp.maximum(amax, 1e-30) / 127.0
+        hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)
+        s_lo = s_hi / 254.0
+        lo = jnp.clip(
+            jnp.round((m32 - hi * s_hi[..., None]) / s_lo[..., None]),
+            -127, 127,
+        )
+        return (
+            jnp.concatenate(
+                [hi.astype(jnp.int8), lo.astype(jnp.int8)], axis=1
+            ),
+            jnp.concatenate([s_hi, s_lo], axis=1),
+        )
+
+    timeit("  q:hi/lo no-pad", jax.jit(q_nopad), m_var)
+
+    def q_amax(m):
+        return jnp.max(jnp.abs(m.astype(jnp.float32)), axis=-1)
+
+    timeit("  q:amax only", jax.jit(q_amax), m_var)
+
+    # ---- layout sub-stages ------------------------------------------
+    def lay_origins(cpx, s2, sl):
+        bucket = msc.assign_buckets(s2, sl)
+        return msc._origins_pyramid(cpx, bucket, pyr, bmi, mo, 1.0)
+
+    timeit("  l:assign+origins", jax.jit(lay_origins), p.pose_px(),
+           scale, slots)
+
+    def lay_group(cpx, theta, s2, sl):
+        bucket = msc.assign_buckets(s2, sl)
+        se = rotation_shift(theta, TH)
+        g = se // ps.GW
+        key = ((bucket * ps.N_GROUPS + g) * ps.RX
+               + jnp.zeros_like(bucket)).astype(jnp.int32)
+        return ps._group_layout(key, k * ps.RX * ps.N_GROUPS, p_tile)
+
+    timeit("  l:group_layout(radix)", jax.jit(lay_group), p.pose_px(),
+           p.theta, scale, slots)
+
+    def lay_scatters(pos, ry, y8, xe, local):
+        n_pad2 = 174080
+        loc = jnp.zeros((n_pad2, 1), jnp.int32).at[pos, 0].set(local)
+        origins = jnp.zeros((n_pad2, 4), jnp.int32).at[pos].set(
+            jnp.stack([ry, y8, xe, jnp.zeros_like(ry)], axis=-1)
+        )
+        return loc, origins
+
+    se_h = jax.jit(lambda th2: rotation_shift(th2, TH))(p.theta)
+    oo = jax.jit(lay_origins)(p.pose_px(), scale, slots)
+    timeit("  l:scatters", jax.jit(lay_scatters), out[0], oo[0], oo[1],
+           oo[2], se_h % ps.GW)
+
+    # ---- kernel standalone (quant included: m_var is bf16) ----------
+    pos_j, tile_midx, origins_j, loc_j = out
+    fn = jax.jit(
+        lambda og, tm, mv, lp: ps._run_kernel(
+            pyr.stacked, og, tm, mv, mo, p_tile, 64, False,
+            sel=True, locals_=lp, lokf=not ps.m_hilo(),
+            kf_col=2 * ps.GW,
+        )
+    )
+    timeit("kernel(+quant)", fn, origins_j, tile_midx, m_var, loc_j)
 
 
 def main():

@@ -25,7 +25,11 @@ TH, R = 100, 25
 
 
 @pytest.mark.parametrize("mo", [12, 24])
-def test_m_support_ends_before_trim(mo):
+def test_trimmed_build_matches_full_layout(mo):
+    """The builders emit M directly at k = dr * trim_lanes(mo); that
+    must equal the legacy full-crop-layout build with the structurally-
+    zero lanes sliced off, and the dropped lanes must BE zero (so the
+    kernel's trimmed contraction is exact for any gated f)."""
     rng = np.random.default_rng(0)
     stencil = jnp.asarray(polar_stencil(TH, R))
     scan = jnp.asarray(rng.random((3, TH, R)), jnp.float32) * 3
@@ -35,16 +39,38 @@ def test_m_support_ends_before_trim(mo):
     assert ps.pick_crop_size(f, R) == mo
     dr, dc = ps.crop_dims(mo)
     t = ps.trim_lanes(mo)
-    for m in (
-        ps.build_m_tracked(scan, cw, stencil, f, mo),
-        ps.build_m_init(scan, cw, stencil, f, mo),
+    py, px = ps._stencil_pix(stencil, f, mo)
+    cost_circ, norm_circ = ps.build_circulants(scan, cw)
+    cost_circ = cost_circ.reshape(TH * R * 3, TH)
+    for m, cc, nc in (
+        (
+            ps.build_m_tracked(scan, cw, stencil, f, mo)[0],
+            cost_circ[:, : ps.GW],
+            norm_circ[:, : ps.GW],
+        ),
+        (
+            ps.build_m_init(scan, cw, stencil, f, mo, num_rot=40)[0],
+            cost_circ[:, ps.search_shifts(TH, 40)],
+            norm_circ[:, ps.search_shifts(TH, 40)],
+        ),
     ):
-        m4 = np.asarray(
-            m.astype(jnp.float32)
-        ).reshape(m.shape[0], m.shape[1], dr, dc * ps.C_PAD)
-        assert np.all(m4[..., t:] == 0.0), (mo, t)
-        # the trim is not vacuous: support reaches near its edge
-        assert np.any(m4[..., t - 128 : t] != 0.0), (mo, t)
+        assert m.shape[-1] == dr * t, (m.shape, dr, t)
+        s_m = m.shape[0]
+        full = ps._build_base_t_from_pix(
+            (py * dc + px) * ps.C_PAD, dr * dc * ps.C_PAD, 3,
+            cc, nc, s_m,
+        )
+        f4 = np.asarray(full.astype(jnp.float32)).reshape(
+            s_m, dr, dc * ps.C_PAD
+        )
+        # lanes past the trim are structurally zero in the full layout
+        assert np.all(f4[..., t:] == 0.0), (mo, t)
+        # support reaches near the trim edge (the trim is not vacuous)
+        assert np.any(f4[..., t - 128 : t] != 0.0), (mo, t)
+        np.testing.assert_array_equal(
+            np.asarray(m.astype(jnp.float32)).reshape(s_m, dr, t),
+            f4[..., :t],
+        )
 
 
 @pytest.mark.parametrize("mo", [12, 24])

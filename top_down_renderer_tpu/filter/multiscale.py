@@ -171,21 +171,36 @@ def _origins_pyramid(
     map_resolution: float,
 ):
     """Per-particle crop origin inside the particle's bucket's pyramid
-    level.  Returns (ry, y8, xe, rx, in_range)."""
+    level.  Returns (ry, y8, xe, rx, in_range).
+
+    The four per-bucket table lookups ride ONE (n, K) one-hot f32
+    matmul instead of four (n,)-from-(K,) gathers: TPU gathers are
+    descriptor-bound at ~1.7e8/s, so each gather costs ~0.6 ms at 102k
+    particles while the matmul is ~10 MFLOP (exact: table values are
+    small ints, single-term one-hot rows)."""
     dr, dc = crop_dims(mo)
     pad = pyr.pad
-    mips = jnp.asarray(
-        [pyr.mips[i] for i in bucket_mip_idx], jnp.float32
-    )[bucket]
-    row0 = jnp.asarray(
-        [pyr.row_off[i] for i in bucket_mip_idx], jnp.int32
-    )[bucket]
-    hp_l = jnp.asarray(
-        [pyr.hp[i] for i in bucket_mip_idx], jnp.int32
-    )[bucket]
-    wp_l = jnp.asarray(
-        [pyr.wp[i] for i in bucket_mip_idx], jnp.int32
-    )[bucket]
+    k = len(bucket_mip_idx)
+    tbl = jnp.asarray(
+        [
+            [
+                float(pyr.mips[i]),
+                float(pyr.row_off[i]),
+                float(pyr.hp[i]),
+                float(pyr.wp[i]),
+            ]
+            for i in bucket_mip_idx
+        ],
+        jnp.float32,
+    )  # (K, 4)
+    oh = (
+        bucket[:, None] == jnp.arange(k, dtype=bucket.dtype)
+    ).astype(jnp.float32)
+    vals = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+    mips = vals[:, 0]
+    row0 = vals[:, 1].astype(jnp.int32)
+    hp_l = vals[:, 2].astype(jnp.int32)
+    wp_l = vals[:, 3].astype(jnp.int32)
     cy = jnp.round(
         center_px[:, 1] / (map_resolution * mips)
     ).astype(jnp.int32)
@@ -215,28 +230,37 @@ def _origins_pyramid(
 
 
 def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
-                       qinv=None):
+                       qinv=None, with_amax=False):
     """(K, 2*num_rot+2, Kext): one theta-search M per bucket (the
     kernel handles the x-residual by rotating the crop; _run_kernel
     zero-pads the unused columns post-quant).  f_eff: (K,) effective
-    scale*res/mip per bucket."""
-    m = jax.vmap(
+    scale*res/mip per bucket.  with_amax also returns (K, 2*num_rot+2)
+    per-column amax from the build pass (see _build_base_t_from_pix)."""
+    out = jax.vmap(
         lambda f: build_m_init(
-            scan, class_weights, stencil, f, mo, num_rot, qinv
+            scan, class_weights, stencil, f, mo, num_rot, qinv,
+            with_amax,
         )
-    )(f_eff)  # (K, 1, 128, k)
-    return m.reshape(-1, *m.shape[2:])
+    )(f_eff)  # (K, 1, s_m, k)[, (K, 1, s_m)]
+    if with_amax:
+        m, am = out
+        return m.reshape(-1, *m.shape[2:]), am.reshape(-1, am.shape[2])
+    return out.reshape(-1, *out.shape[2:])
 
 
 def build_m_tracked_multi(scan, class_weights, stencil, f_eff, mo,
-                          qinv=None):
+                          qinv=None, with_amax=False):
     """(K*N_GROUPS, 2*GW+2, Kext): tracked variant table, bucket-major
-    (used columns only; _run_kernel zero-pads post-quant)."""
-    m = jax.vmap(
+    (used columns only; _run_kernel zero-pads post-quant).  with_amax
+    also returns (K*N_GROUPS, 2*GW+2) per-column amax."""
+    out = jax.vmap(
         lambda f: build_m_tracked(scan, class_weights, stencil, f, mo,
-                                  qinv)
-    )(f_eff)  # (K, N_GROUPS, 64, k)
-    return m.reshape(-1, *m.shape[2:])
+                                  qinv, with_amax)
+    )(f_eff)  # (K, N_GROUPS, s_m, k)[, (K, N_GROUPS, s_m)]
+    if with_amax:
+        m, am = out
+        return m.reshape(-1, *m.shape[2:]), am.reshape(-1, am.shape[2])
+    return out.reshape(-1, *out.shape[2:])
 
 
 # ---------------------------------------------------------------------
@@ -276,8 +300,9 @@ def make_score_init_multi(
             [pyr.mips[i] for i in bucket_mip_idx], jnp.float32
         )
         f_eff = slot_vals * res / mips  # (K,)
-        m_var = build_m_init_multi(
-            scan, class_weights, stencil, f_eff, mo, num_rot, pyr.qinv
+        m_var, m_amax = build_m_init_multi(
+            scan, class_weights, stencil, f_eff, mo, num_rot, pyr.qinv,
+            with_amax=True,
         )
         bucket = assign_buckets(scale, slot_vals)
         ry, y8, xe, rx, in_range = _origins_pyramid(
@@ -296,6 +321,7 @@ def make_score_init_multi(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
             kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
+            amax=m_amax,
         )
         if sel:
             n = center_px.shape[0]
@@ -348,8 +374,9 @@ def make_score_tracked_multi(
             [pyr.mips[i] for i in bucket_mip_idx], jnp.float32
         )
         f_eff = slot_vals * res / mips
-        m_var = build_m_tracked_multi(
-            scan, class_weights, stencil, f_eff, mo, pyr.qinv
+        m_var, m_amax = build_m_tracked_multi(
+            scan, class_weights, stencil, f_eff, mo, pyr.qinv,
+            with_amax=True,
         )
         bucket = assign_buckets(scale, slot_vals)
         s = rotation_shift(theta, th)
@@ -376,7 +403,7 @@ def make_score_tracked_multi(
         out = ps._run_kernel(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
             interpret, sel=True, locals_=loc_pad,
-            lokf=not ps.m_hilo(), kf_col=2 * GW,
+            lokf=not ps.m_hilo(), kf_col=2 * GW, amax=m_amax,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)

@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from top_down_renderer_tpu.filter.scoring import (
     build_circulants,
+    circulants_at_shifts,
     rotation_shift,
     search_shifts,
 )
@@ -272,18 +273,29 @@ def _build_base_t_from_pix(
     norm_cols: jnp.ndarray,
     s_cols: int,
     qinv: jnp.ndarray | None = None,
-) -> jnp.ndarray:
+    with_amax: bool = False,
+):
     """(s_cols, kext) bf16 with K-row layout k = slot*C_PAD + ch (the
-    crop kernel's M layout)."""
+    crop kernel's M layout).
+
+    with_amax=True also returns max|row| (s_cols,) f32, computed from
+    the f32 y in the SAME pass (fuses with the relayout read): a
+    standalone max-abs reduce over the finished bf16 table measured
+    ~4.5 ms at K-bucket multi sizes on v5e.  _run_kernel inflates the
+    given amax by (1 + 2^-8) to cover the bf16 rounding of the table
+    values it quantizes."""
     y = _build_base_y_from_pix(
         pix8, kext, c, cost_cols, norm_cols, s_cols, qinv
     )
     n_slots = kext // C_PAD
-    return (
+    out = (
         y.transpose(1, 2, 0)
         .reshape(s_cols, n_slots * C_PAD)
         .astype(jnp.bfloat16)
     )
+    if with_amax:
+        return out, jnp.max(jnp.abs(y), axis=(0, 2))
+    return out
 
 
 def _stencil_pix(stencil: jnp.ndarray, f, mo: int):
@@ -304,14 +316,22 @@ def _build_base_t(
     norm_cols: jnp.ndarray,
     s_cols: int,
     qinv: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Crop-path base matrix: K-rows laid out on the (dr, dc) crop of
-    crop_dims(mo) with the RX row-shift tail."""
+    with_amax: bool = False,
+):
+    """Crop-path base matrix, emitted directly in the kernel's TRIMMED
+    contraction layout k = py * trim_lanes(mo) + px * C_PAD + ch.
+
+    Every stencil px satisfies (px + 1) * C_PAD <= trim_lanes(mo) by
+    construction (the pick_crop_size gates bound |off_x| <= mo), so
+    building at dr * t instead of dr * dc * C_PAD skips the
+    structurally-zero lane columns at the SOURCE: ~20% fewer build-
+    matmul FLOPs at mo=24 and no post-hoc trim reshape pass over M
+    tables that reach hundreds of MB on the K-bucket multi path."""
     dr, dc = crop_dims(mo)
-    kext = dr * dc * C_PAD + RX * C_PAD
-    pix8 = (py * dc + px) * C_PAD
+    t = trim_lanes(mo)
+    pix8 = py * t + px * C_PAD
     return _build_base_t_from_pix(
-        pix8, kext, c, cost_cols, norm_cols, s_cols, qinv
+        pix8, dr * t, c, cost_cols, norm_cols, s_cols, qinv, with_amax
     )
 
 
@@ -322,7 +342,8 @@ def build_m_tracked(
     f,
     mo: int,
     qinv: jnp.ndarray | None = None,
-) -> jnp.ndarray:
+    with_amax: bool = False,
+):
     """(N_GROUPS, 2*GW+2, K) bf16 variants for tracked mode, transposed
     so the kernel's manual M DMA slices along the 128-aligned K minor.
 
@@ -331,29 +352,27 @@ def build_m_tracked(
     variant axis: the kernel lane-rotates each crop tile instead (16x
     less M build/memory/DMA)."""
     c, th, r = scan.shape
-    dr, dc = crop_dims(mo)
-    k = dr * dc * C_PAD
-    cost_circ, norm_circ = build_circulants(scan, class_weights)
-    cost_circ = cost_circ.reshape(th * r * c, th)
     py, px = _stencil_pix(stencil, f, mo)
 
-    # per-group shift windows; the one-hot selection inside
+    # per-group shift windows, built at the USED shifts only (one row
+    # gather, circulants_at_shifts) and the USED columns only (2*GW
+    # cost/norm + kf + lokf slot = 34 of the kernel's 64: _run_kernel
+    # zero-pads post-quant); the one-hot selection inside
     # _build_base_t is shared across the vmap (it doesn't depend on g)
     cols = (
         jnp.arange(N_GROUPS)[:, None] * GW + jnp.arange(GW)[None, :]
     ) % th  # (7, 16)
-    # only the USED columns (2*GW cost/norm + kf + lokf slot = 34 of
-    # the kernel's 64): _run_kernel zero-pads post-quant, halving the
-    # build matmul's M dim
-    base_t = jax.vmap(
+    cost_sel, norm_sel = circulants_at_shifts(
+        scan, class_weights, cols.reshape(-1)
+    )  # (TR*C, 7*16), (TR, 7*16)
+    return jax.vmap(
         lambda cc, nc: _build_base_t(
-            mo, py, px, c, cc, nc, 2 * GW + 2, qinv
+            mo, py, px, c, cc, nc, 2 * GW + 2, qinv, with_amax
         )
     )(
-        jnp.moveaxis(cost_circ[:, cols], 1, 0),  # (7, TR*C, 16)
-        jnp.moveaxis(norm_circ[:, cols], 1, 0),  # (7, TR, 16)
-    )  # (7, 64, Kext)
-    return base_t[:, :, :k]
+        jnp.moveaxis(cost_sel.reshape(-1, N_GROUPS, GW), 1, 0),
+        jnp.moveaxis(norm_sel.reshape(-1, N_GROUPS, GW), 1, 0),
+    )  # (7, 2*GW+2, dr*t)[, amax (7, 2*GW+2)]
 
 
 def build_m_init(
@@ -364,25 +383,25 @@ def build_m_init(
     mo: int,
     num_rot: int = 40,
     qinv: jnp.ndarray | None = None,
-) -> jnp.ndarray:
+    with_amax: bool = False,
+):
     """(1, 2*num_rot+2, K) bf16 for the theta-search mode: cols
     [0:num_rot) cost at the search shifts, [num_rot:2*num_rot) norm,
     [2*num_rot] kf.  Single variant - the kernel handles the x-residual
     by rotating the crop."""
     c, th, r = scan.shape
-    dr, dc = crop_dims(mo)
-    k = dr * dc * C_PAD
-    cost_circ, norm_circ = build_circulants(scan, class_weights)
-    cost_circ = cost_circ.reshape(th * r * c, th)
     ssh = search_shifts(th, num_rot)
+    cost_sel, norm_sel = circulants_at_shifts(scan, class_weights, ssh)
     py, px = _stencil_pix(stencil, f, mo)
     # used columns only (2*num_rot + kf + lokf slot = 82 of the
     # kernel's 128); _run_kernel zero-pads post-quant
-    base_t = _build_base_t(
-        mo, py, px, c, cost_circ[:, ssh], norm_circ[:, ssh],
-        2 * num_rot + 2, qinv
-    )  # (2*num_rot+2, Kext)
-    return base_t[None, :, :k]  # (1, 2*num_rot+2, K)
+    out = _build_base_t(
+        mo, py, px, c, cost_sel, norm_sel, 2 * num_rot + 2, qinv,
+        with_amax,
+    )  # (2*num_rot+2, dr*t)
+    if with_amax:
+        return out[0][None], out[1][None]
+    return out[None]  # (1, 2*num_rot+2, dr*t)
 
 
 def _kernel(
@@ -479,7 +498,12 @@ def _kernel(
     def _():
         # one batched wait for all of this slot's crop bytes: a
         # synthetic descriptor over the whole slot buffer waits for the
-        # same byte count the p_tile individual DMAs signalled
+        # same byte count the p_tile individual DMAs signalled.
+        # (A dead-pad-slot DMA skip was measured a NET LOSS here:
+        # predicating the unrolled per-slot starts/waits on a live
+        # count cost more scalar-core time than the ~20% padding
+        # bytes saved - 18.9 vs 18.1 ms on the K-bucket tracked
+        # kernel, r4 stage profile.)
         pltpu.make_async_copy(
             crop_buf.at[slot], crop_buf.at[slot], sems.at[slot]
         ).wait()
@@ -617,6 +641,7 @@ def _run_kernel(
     kf_thresh: float = 0.0,
     lokf: bool = False,
     kf_col: int = -1,
+    amax: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     if locals_ is None:
@@ -625,14 +650,16 @@ def _run_kernel(
     dr, dc = crop_dims(mo)
     t = trim_lanes(mo)
     k = dr * t
-    if t < dc * C_PAD:
-        # drop M's structurally-zero lane columns to match the kernel's
-        # trimmed contraction (free: the dropped amax contributions are
-        # zero, so the hi/lo scales are unchanged)
+    if m_var.shape[2] == dr * dc * C_PAD and t < dc * C_PAD:
+        # legacy full-crop-layout M (the builders now emit dr*t
+        # directly): drop the structurally-zero lane columns to match
+        # the kernel's trimmed contraction (free: the dropped amax
+        # contributions are zero, so the hi/lo scales are unchanged)
         n_var, s_m = m_var.shape[0], m_var.shape[1]
         m_var = m_var.reshape(n_var, s_m, dr, dc * C_PAD)[
             ..., :t
         ].reshape(n_var, s_m, k)
+    assert m_var.shape[2] == k, (m_var.shape, dr, t)
     # hi/lo int8 split of M, stacked on the column axis: the kernel
     # contracts int8 crops against int8 [M_hi | M_lo] in ONE MXU pass
     # (2*s_cols columns fill the 128-lane MXU the 64-col bf16 matmul
@@ -655,7 +682,15 @@ def _run_kernel(
     pad_m = [(0, 0), (0, s_cols - s_m), (0, 0)]
     pad_s = [(0, 0), (0, s_cols - s_m)]
     m32 = m_var.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_m)
+    if amax is None:
+        amax = jnp.max(jnp.abs(m32), axis=-1)  # (n_var, s_m)
+    else:
+        # builder-supplied amax was reduced over the f32 y BEFORE the
+        # bf16 cast (fused with the build's relayout pass; a standalone
+        # reduce over the bf16 table measured ~4.5 ms at multi sizes);
+        # inflate by (1 + 2^-8) > the bf16 rounding so every quantized
+        # value stays within +-127 (the clips below never lose bits)
+        amax = amax * np.float32(1.0 + 2.0 ** -8)
     s_hi = jnp.maximum(amax, 1e-30) / 127.0
     hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)
     if lokf:
@@ -875,7 +910,26 @@ def _group_layout(key: jnp.ndarray, n_groups: int, p_tile: int):
             jnp.arange(n, dtype=jnp.int32)
         )
         q = jnp.zeros(n, jnp.int32).at[inv1].set(q_s)
-        pos = q + adj[key]
+        # adj[key] as a two-stage one-hot lookup instead of a 102k-
+        # descriptor table gather (~0.6 ms at 1.7e8 desc/s): the f32
+        # dot picks adj2[h, lo[i]] per (i, h) (single-term rows, exact
+        # for adj < 2^24), the hi one-hot selects h = hi[i]
+        adj2 = adj.reshape(g1, b2).astype(jnp.float32)
+        t_lo = jax.lax.dot_general(
+            oh_lo.astype(jnp.float32).reshape(n, b2),
+            adj2,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, g1) = adj2[:, lo[i]] per row
+        adj_k = jnp.sum(
+            jnp.where(
+                hi[:, None] == jnp.arange(g1, dtype=key.dtype),
+                t_lo,
+                0.0,
+            ),
+            axis=1,
+        ).astype(jnp.int32)
+        pos = q + adj_k
         keypad = jnp.full(n_pad, -1, jnp.int32).at[pos].set(key)
     else:
         counts = jnp.bincount(key, length=n_groups)
@@ -938,8 +992,9 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
     def score(maps, stencil, scan, class_weights, center_px, theta, f):
         th, r, _ = stencil.shape
         p_tile = tracked_p_tile(mo)
-        m_var = build_m_tracked(
-            scan, class_weights, stencil, f, mo, maps.qinv
+        m_var, m_amax = build_m_tracked(
+            scan, class_weights, stencil, f, mo, maps.qinv,
+            with_amax=True,
         )
         s = rotation_shift(theta, th)
         g = s // GW
@@ -966,7 +1021,7 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
             interpret, sel=True, locals_=loc_pad, lokf=not m_hilo(),
-            kf_col=2 * GW,
+            kf_col=2 * GW, amax=m_amax,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)
@@ -1004,8 +1059,9 @@ def make_score_init(mo: int, num_rot: int = 40,
     def score(maps, stencil, scan, class_weights, center_px, f):
         th, r, _ = stencil.shape
         p_tile = init_p_tile(mo)
-        m_var = build_m_init(
-            scan, class_weights, stencil, f, mo, num_rot, maps.qinv
+        m_var, m_amax = build_m_init(
+            scan, class_weights, stencil, f, mo, num_rot, maps.qinv,
+            with_amax=True,
         )
         ry, y8, xe, rx, in_range = _origins(
             center_px, maps, mo, map_resolution
@@ -1022,6 +1078,7 @@ def make_score_init(mo: int, num_rot: int = 40,
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
             kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
+            amax=m_amax,
         )
         if sel:
             n = center_px.shape[0]

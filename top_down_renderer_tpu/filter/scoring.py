@@ -58,6 +58,34 @@ def build_circulants(
     return cost_circ, norm_circ
 
 
+def circulants_at_shifts(
+    scan: jnp.ndarray, class_weights: jnp.ndarray, shifts: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Circulant COLUMNS at the given row shifts only.
+
+    Returns (cost_sel (Th*R*C, S), norm_sel (Th*R, S)) with
+    cost_sel[(t, r, c), j] = 0.01 * w_c * scan_c[(t+shifts[j]) % Th, r].
+
+    build_circulants materializes all Th shifts as Th static rolls
+    (~Th copy ops, ~2.6 ms in-graph on v5e); the crop-kernel M builders
+    need only the <=112 window/search shifts, fetched here as ONE row
+    gather on a theta-doubled scan (Th*S ~ 11k row descriptors at
+    ~1.7e8 desc/s ~ 0.1 ms).  shifts must lie in [0, Th)."""
+    c, th, r = scan.shape
+    wscan = scan * (0.01 * class_weights)[:, None, None]
+    rows = jnp.concatenate([wscan, wscan], axis=1).transpose(
+        1, 0, 2
+    ).reshape(2 * th, c * r)
+    idx = (jnp.arange(th)[:, None] + shifts[None, :]).reshape(-1)
+    g = jnp.take(rows, idx, axis=0).reshape(th, -1, c, r)
+    cost_sel = g.transpose(0, 3, 2, 1).reshape(th * r * c, -1)
+    ssum = jnp.sum(scan, axis=0)  # (Th, R)
+    s2 = jnp.concatenate([ssum, ssum], axis=0)
+    gn = jnp.take(s2, idx, axis=0).reshape(th, -1, r)
+    norm_sel = gn.transpose(0, 2, 1).reshape(th * r, -1)
+    return cost_sel, norm_sel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "map_resolution", "chunk_size"),
