@@ -28,7 +28,7 @@ from city_bag import CLASS_COLORS, CLASS_NAMES
 
 
 def make_node_factory(data_dir, particle_count, seed_base=0,
-                      name="city"):
+                      name="city", unknown_scale=False):
     from top_down_renderer_tpu.config import (
         ClassConfig,
         MapConfig,
@@ -57,12 +57,21 @@ def make_node_factory(data_dir, particle_count, seed_base=0,
         use_motion_prior=True,
     )
 
+    overrides = dict(
+        regularization=0.02, pos_cov=0.1, force_on_map=True
+    )
+    if unknown_scale:
+        # the reference's aerial-image mode: map resolution withheld,
+        # the filter draws 10 discrete scale hypotheses per position
+        # (particle_filter.cpp:19-25) and freezes on convergence -- this
+        # drives the K-bucket multi-scale crop path end to end.
+        # fixed_scale < 0 means unknown (particles.py:89).
+        overrides["fixed_scale"] = -1.0
+
     def make_node(run_idx):
         return TopDownRenderNode(
             cc, mc, rt,
-            filter_overrides=dict(
-                regularization=0.02, pos_cov=0.1, force_on_map=True
-            ),
+            filter_overrides=overrides,
             seed=seed_base + run_idx,
         )
 
@@ -87,6 +96,11 @@ def main():
                     help="result key suffix (e.g. 'smoke')")
     ap.add_argument("--bag", default="city",
                     help="bag basename: city | city_hard (realism)")
+    ap.add_argument("--unknown-scale", action="store_true",
+                    help="withhold the map resolution: the filter "
+                    "estimates scale from 10 hypotheses (the "
+                    "reference's aerial-image mode; exercises the "
+                    "multi-scale crop path)")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +118,8 @@ def main():
 
     bag = Bag.load(os.path.join(args.data, f"{args.bag}.npz"))
     make_node, meta = make_node_factory(
-        args.data, args.particles, name=args.bag
+        args.data, args.particles, name=args.bag,
+        unknown_scale=args.unknown_scale,
     )
 
     if not args.no_prewarm and jax.default_backend() != "cpu":
@@ -135,6 +150,7 @@ def main():
     smoke = bool(args.cpu or args.max_scans)
     summary = {
         "bag": args.bag,
+        "unknown_scale": bool(args.unknown_scale),
         "smoke": smoke,
         "workload": f"{args.bag} drive "
         f"({meta['drive_len_m']:.0f} m, {meta['steps']} scans, "
@@ -152,6 +168,19 @@ def main():
         "time_to_converge_s": [round(t, 1) for t in conv_times],
         "wall_s": round(loc_s, 1),
     }
+    if args.unknown_scale:
+        true_scale = float(meta["scale_px_m"])
+        finals = [
+            float(r["scales"][-1]) if r["scales"]
+            else float(r["final_scale"])
+            for r in loc["runs"]
+            if r["scales"] or r.get("final_scale") is not None
+        ]
+        summary["true_scale_px_m"] = true_scale
+        summary["final_scale_px_m"] = [round(s_, 4) for s_ in finals]
+        summary["scale_rel_err"] = [
+            round(abs(s_ - true_scale) / true_scale, 4) for s_ in finals
+        ]
     print(json.dumps({"benchmark_loc": summary}), flush=True)
 
     out = {"benchmark_loc": summary}
@@ -185,6 +214,8 @@ def main():
         print(json.dumps({"benchmark_conv": out["benchmark_conv"]}),
               flush=True)
 
+    if args.unknown_scale:
+        out = {f"{k}_uscale": v for k, v in out.items()}
     if args.tag:
         out = {f"{k}_{args.tag}": v for k, v in out.items()}
     path = os.path.join(

@@ -109,6 +109,8 @@ def replay(
     pose_est list, convergence stamp, per-step timing."""
     poses: List = []
     node.on("pose_est", poses.append)
+    scales: List = []  # published scale estimates (unknown-scale runs)
+    node.on("scale", scales.append)
 
     t0 = float(bag.scan_stamps[0]) + start_offset
     first_converged: Optional[float] = None
@@ -143,8 +145,16 @@ def replay(
             break
         if max_scans is not None and n_scans >= max_scans:
             break
+    final_scale = None
+    if getattr(node, "filter", None) is not None:
+        try:
+            final_scale = float(node.filter.scale())
+        except Exception:
+            pass
     return {
         "poses": poses,
+        "scales": scales,
+        "final_scale": final_scale,
         "first_converged_stamp": first_converged,
         "n_scans": n_scans,
         "start_stamp": t0,
