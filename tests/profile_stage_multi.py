@@ -162,19 +162,21 @@ def multi(state, packed, stencil, scan):
 
     def build(sc, w, sten, sl, qi):
         f_eff = sl * res / mips_j
-        return msc.build_m_tracked_multi(sc, w, sten, f_eff, mo, qi)
+        return msc.build_m_tracked_multi(sc, w, sten, f_eff, mo, qi,
+                                         with_amax=True)
 
-    m_var = jax.jit(build)(scan, cw, stencil, slots, pyr.qinv)
+    m_var, m_amax = jax.jit(build)(scan, cw, stencil, slots, pyr.qinv)
     print(f"  m_var {m_var.shape} {m_var.dtype}"
           f" = {m_var.size * m_var.dtype.itemsize / 1e6:.0f} MB")
-    timeit("m_build", jax.jit(build), scan, cw, stencil, slots, pyr.qinv)
+    timeit("m_build(+amax)", jax.jit(build), scan, cw, stencil, slots,
+           pyr.qinv)
 
-    timeit("m_quant(trim+hi/lo)",
+    timeit("m_quant(hi/lo, amax given)",
            jax.jit(lambda m: quant_hilo(m, mo)), m_var)
     timeit(
         "m_build+quant(fused)",
         jax.jit(lambda sc, w, sten, sl, qi: quant_hilo(
-            build(sc, w, sten, sl, qi), mo
+            build(sc, w, sten, sl, qi)[0], mo
         )),
         scan, cw, stencil, slots, pyr.qinv,
     )
@@ -312,13 +314,14 @@ def multi(state, packed, stencil, scan):
     # ---- kernel standalone (quant included: m_var is bf16) ----------
     pos_j, tile_midx, origins_j, loc_j = out
     fn = jax.jit(
-        lambda og, tm, mv, lp: ps._run_kernel(
+        lambda og, tm, mv, lp, am: ps._run_kernel(
             pyr.stacked, og, tm, mv, mo, p_tile, 64, False,
             sel=True, locals_=lp, lokf=not ps.m_hilo(),
-            kf_col=2 * ps.GW,
+            kf_col=2 * ps.GW, amax=am,
         )
     )
-    timeit("kernel(+quant)", fn, origins_j, tile_midx, m_var, loc_j)
+    timeit("kernel(+quant, amax given)", fn, origins_j, tile_midx,
+           m_var, loc_j, m_amax)
 
 
 def main():

@@ -79,14 +79,18 @@ def test_multi_dispatch_tuple():
     )
     fast = pf._fast_mode(1.0)
     assert fast is not None and fast[3] == "multi"
-    mode, _, _, _, slots, levels, bmi, kp = fast
+    mode, mo_m, _, _, slots, levels, bmi, kp = fast
     assert mode == "init"
+    assert mo_m == ms.multi_mo()
     assert kp == 12 and len(slots) == 12 and len(bmi) == 12
     hyp = 10.0 ** (np.arange(10) / 10.0)
     np.testing.assert_allclose(np.sort(np.unique(slots[:10])), hyp,
                                rtol=1e-4)
-    # f spans [1, 7.94] -> mip levels 1..8 present
-    assert levels[0] == 1 and levels[-1] == 8
+    # f spans [1, 7.94]; smallest mip covers the smallest slot at
+    # fmax = mo/(range_bins-1), largest is 8x coarser (3 octaves)
+    fmax = ms.multi_mo() / 24.0
+    assert levels[0] == ms.mip_for_f(1.0, fmax)
+    assert levels[-1] == 8 * levels[0]
     pf._all_have_init = True
     assert pf._fast_mode(1.0)[0] == "tracked"
     # frozen scale must leave the multi path for the uniform dispatch

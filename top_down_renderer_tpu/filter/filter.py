@@ -463,6 +463,7 @@ def make_update_step_multiscale(
     mode: str,  # "tracked" | "init"
     n_buckets: int,
     bucket_mip_idx: Tuple[int, ...],
+    mo: int | None = None,
     k_max: int = 8,
     gmm_every: int = 1,
     tail_fn=None,
@@ -480,14 +481,16 @@ def make_update_step_multiscale(
         tail_fn = make_tail_fn(
             params, n_max, k_max, gmm_every, theta_bins
         )
+    if mo is None:
+        mo = ms.multi_mo()
     if mode == "tracked":
         scorer = ms.make_score_tracked_multi(
-            n_buckets, bucket_mip_idx, map_resolution, interpret
+            n_buckets, bucket_mip_idx, map_resolution, interpret, mo
         )
     else:
         scorer = ms.make_score_init_multi(
             n_buckets, bucket_mip_idx, params.num_rot_search,
-            map_resolution, interpret, sel=True,
+            map_resolution, interpret, mo=mo, sel=True,
         )
 
     @jax.jit
@@ -954,7 +957,8 @@ class ParticleFilter:
         # slot that saturates even mip=64 drops the whole dispatch to the
         # exact gather - the crop kernel would silently alias/drop points.
         range_bins = self.map.stencil.shape[1]
-        fmax = ms.MO_MULTI / max(range_bins - 1, 1)
+        mo = ms.multi_mo()
+        fmax = mo / max(range_bins - 1, 1)
         mips = tuple(
             ms.mip_for_f(float(s) * res, fmax) for s in slots_p
         )
@@ -962,7 +966,7 @@ class ParticleFilter:
             return None
         levels = tuple(sorted(set(mips)))
         bmi = tuple(levels.index(m) for m in mips)
-        return (mode, None, None, "multi", slots_p, levels, bmi, kp)
+        return (mode, mo, None, "multi", slots_p, levels, bmi, kp)
 
     def _get_pyramid_maps(self, levels):
         from top_down_renderer_tpu.filter import multiscale as ms
@@ -974,8 +978,8 @@ class ParticleFilter:
             )
         return self._pyramid_cache[key]
 
-    def _get_multi_fn(self, mode: str, kp: int, bmi):
-        key = ("multi", mode, kp, bmi)
+    def _get_multi_fn(self, mode: str, kp: int, bmi, mo: int):
+        key = ("multi", mode, kp, bmi, mo)
         if key not in self._fast_fns:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
@@ -991,6 +995,7 @@ class ParticleFilter:
                 mode,
                 kp,
                 bmi,
+                mo=mo,
                 gmm_every=self.gmm_every,
                 tail_fn=self._tail_fn,
                 # Mosaic program; CPU backends (tests) run interpreted
@@ -1123,9 +1128,9 @@ class ParticleFilter:
                 return
             fast = self._fast_mode(res)
             if fast is not None and fast[3] == "multi":
-                _, _, _, _, slots, levels, bmi, kp = fast
+                _, mo_m, _, _, slots, levels, bmi, kp = fast
                 for m in modes:
-                    self._get_multi_fn(m, kp, bmi)(
+                    self._get_multi_fn(m, kp, bmi, mo_m)(
                         self.state,
                         self._get_pyramid_maps(levels),
                         map_size_scaled,
@@ -1204,8 +1209,8 @@ class ParticleFilter:
             )
         return self._sharded_fns[key]
 
-    def _get_sharded_multi_fn(self, mode: str, kp: int, bmi):
-        key = ("multi", mode, kp, bmi)
+    def _get_sharded_multi_fn(self, mode: str, kp: int, bmi, mo: int):
+        key = ("multi", mode, kp, bmi, mo)
         if key not in self._sharded_fns:
             from top_down_renderer_tpu.parallel.sharding import (
                 make_sharded_step_multi,
@@ -1221,6 +1226,7 @@ class ParticleFilter:
                 mode=mode,
                 n_buckets=kp,
                 bucket_mip_idx=bmi,
+                mo=mo,
                 gmm_every=self.gmm_every,
                 # the crop kernel is a TPU Mosaic program; CPU meshes
                 # (tests, dryrun) run it interpreted
@@ -1245,8 +1251,8 @@ class ParticleFilter:
         fast = self._fast_mode(float(res_j))
         motion_j = jnp.asarray(self._pop_motion())
         if fast is not None and fast[3] == "multi":
-            mode, _, _, _, slots, levels, bmi, kp = fast
-            self.state = self._get_sharded_multi_fn(mode, kp, bmi)(
+            mode, mo_m, _, _, slots, levels, bmi, kp = fast
+            self.state = self._get_sharded_multi_fn(mode, kp, bmi, mo_m)(
                 self.state,
                 self._get_pyramid_maps(levels),
                 map_size_scaled,
@@ -1313,9 +1319,9 @@ class ParticleFilter:
             return
         fast = self._fast_mode(float(res))
         if fast is not None and fast[3] == "multi":
-            mode, _, _, _, slots, levels, bmi, kp = fast
+            mode, mo_m, _, _, slots, levels, bmi, kp = fast
             self._apply_pending_motion()
-            self.state = self._get_multi_fn(mode, kp, bmi)(
+            self.state = self._get_multi_fn(mode, kp, bmi, mo_m)(
                 self.state,
                 self._get_pyramid_maps(levels),
                 map_size_scaled,

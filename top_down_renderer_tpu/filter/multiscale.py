@@ -35,6 +35,7 @@ still sees the continuous values, so there is nothing to de-quantize.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -56,6 +57,22 @@ from top_down_renderer_tpu.filter.scoring import rotation_shift
 MAX_BUCKETS = 12
 SCALE_RTOL = 0.02  # max |scale - slot| / slot within a bucket
 MO_MULTI = 24  # single static crop bucket (f_eff <= 1 always fits)
+
+
+def multi_mo() -> int:
+    """Static crop bucket for the K-bucket multi path.
+
+    Default MO_MULTI=24 scores at the finest mip with f_eff <= 1
+    (stencil NN granularity = mip px).  TDR_MULTI_MO=12 halves the
+    crop rows/lanes (contraction k 28672 -> 8192, crop DMA 35 -> 12 KB
+    per particle) by pushing every bucket ONE mip level coarser
+    (f_eff <= 0.5, granularity 2x) - the measured multi-regime dot +
+    DMA floors scale with k, so this trades pre-freeze scoring
+    granularity for ~2-3x step throughput.  Accuracy A/B: the
+    unknown-scale closed-loop drive (bench_loc --unknown-scale)."""
+    v = int(os.environ.get("TDR_MULTI_MO", MO_MULTI))
+    assert v in (12, 24), v
+    return v
 
 
 def cluster_scales(

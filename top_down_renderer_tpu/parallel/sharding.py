@@ -343,6 +343,7 @@ def make_sharded_step_multi(
     mode: str,  # "tracked" | "init"
     n_buckets: int,
     bucket_mip_idx,
+    mo: int | None = None,
     k_max: int = 8,
     gmm_every: int = 1,
     axis: str = "data",
@@ -368,14 +369,16 @@ def make_sharded_step_multi(
     assert n_max % n_dev == 0, "n_max must be divisible by mesh size"
     n_local = n_max // n_dev
     class_weights = _pad_class_weights(params, num_classes)
+    if mo is None:
+        mo = ms.multi_mo()
     if mode == "tracked":
         scorer = ms.make_score_tracked_multi(
-            n_buckets, bucket_mip_idx, map_resolution, interpret
+            n_buckets, bucket_mip_idx, map_resolution, interpret, mo
         )
     else:
         scorer = ms.make_score_init_multi(
             n_buckets, bucket_mip_idx, params.num_rot_search,
-            map_resolution, interpret,
+            map_resolution, interpret, mo=mo,
         )
 
     def step_fn(
