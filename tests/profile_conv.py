@@ -31,11 +31,17 @@ f = jnp.asarray(1.0, jnp.float32)
 
 
 def timeit(name, fn, *args, reps=20):
-    out = fn(*args); jax.block_until_ready(out)
+    def fence(o):
+        # axon block_until_ready can return early; force a value read
+        # of ONE element (np.asarray would ship the whole array over
+        # the remote RPC and poison the timing for large outputs)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        float(leaf[(0,) * leaf.ndim])
+    out = fn(*args); fence(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     print(f"{name:34s} {(time.perf_counter()-t0)/reps*1000:8.3f} ms")
     return out
 
@@ -76,5 +82,16 @@ timeit("score stage (kernel+conv+gather)", sc_jit, state.particles,
 cost = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (n,)))
 timeit("tail_fn", tail_fn, state, cost, state.particles.theta, map_size)
 
-st = timeit("full update (score+tail)", lambda s: upd(
-    s, maps, map_size, stencil, scan, res, f_host=1.0, s0=s0), state)
+# the fused step DONATES its input state: chain the output through the
+# loop instead of re-passing a deleted buffer
+step_fn = lambda s: upd(s, maps, map_size, stencil, scan, res,
+                        f_host=1.0, s0=s0)
+st = step_fn(state)
+float(st.particles.weight[0])
+t0 = time.perf_counter()
+reps = 20
+for _ in range(reps):
+    st = step_fn(st)
+float(st.particles.weight[0])
+print(f"{'full update (score+tail)':34s} "
+      f"{(time.perf_counter()-t0)/reps*1000:8.3f} ms")

@@ -133,7 +133,7 @@ def spread(state, packed, stencil, scan):
 
 
 def multi(state, packed, stencil, scan):
-    mo = msc.MO_MULTI
+    mo = msc.multi_mo()
     hyp = (10.0 ** (np.arange(10) / 10.0)).astype(np.float32)
     scale = jnp.asarray(hyp[np.arange(N) % 10])
     mips = tuple(msc.mip_for_f(float(s) * RES) for s in hyp)

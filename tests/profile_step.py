@@ -71,7 +71,7 @@ def matmul_only(sc, key):
     cost_circ, _ = build_circulants(sc, cw)
     x = jax.random.normal(key, (chunk, 2500*c))
     def f(_, x):
-        return jnp.dot(x, cost_circ, preferred_element_type=jnp.float32), None
+        return None, jnp.dot(x, cost_circ, preferred_element_type=jnp.float32)
     out, _ = jax.lax.scan(f, None, jnp.broadcast_to(x, (n//chunk,)+x.shape))
     return out
 mm = jax.jit(matmul_only)

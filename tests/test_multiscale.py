@@ -134,7 +134,7 @@ def _uniform_ref_init(packed, stencil, scan, cw, centers, mip, f_eff):
 
 def test_multi_init_bucket_parity(setup, monkeypatch):
     packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
     score = ms.make_score_init_multi(
         2, (0, 1), interpret=True, mo=MO
     )
@@ -171,7 +171,7 @@ def test_multi_init_sel_matches_host_epilogue(setup, monkeypatch):
     from top_down_renderer_tpu.filter.filter import select_init_cost
 
     packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
     args = (
         pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
         jnp.asarray(centers), jnp.asarray(scale),
@@ -198,7 +198,7 @@ def test_multi_init_sel_matches_host_epilogue(setup, monkeypatch):
 
 def test_multi_tracked_bucket_parity(setup, monkeypatch):
     packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
-    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo, **kw: 16)
     rng = np.random.default_rng(9)
     n = len(centers)
     thetas = (rng.random(n) * 2 * np.pi).astype(np.float32)
@@ -242,7 +242,7 @@ def test_pyramid_level_bounds(setup, monkeypatch):
     must be flagged out-of-range (kf 0) - never silently read the zero
     pad (or worse, a neighboring pyramid level's rows)."""
     packed, stencil, scan, cw, pyr, slot_vals, centers, scale = setup
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
     # mip-2 level is 128 px + 2*64 pad; a center at y= -100 px maps to
     # cy2 = -50 -> y0l = -50 - 16 + 64 < 0 -> out of range
     bad = np.array([[64.0, -100.0], [64.0, 64.0]], np.float32)

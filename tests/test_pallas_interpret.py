@@ -113,7 +113,7 @@ def _check(ref, got, kf_ref, kf_got, label):
 
 def test_tracked_interpret_parity(setup, monkeypatch):
     stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
-    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo, **kw: 16)
     mo = ps.pick_crop_size(F, R)
     assert mo == 12
     thetas = (rng.random(N) * 2 * np.pi).astype(np.float32)  # all groups
@@ -139,7 +139,7 @@ def test_mip_crop_parity(monkeypatch):
     with f/mip at resolution*mip must equal the exact gather evaluated
     on that same subsampled map (filter.py dispatches exactly these
     arguments when scale*res exceeds every crop bucket)."""
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
     mip, f = 4, 4.0  # f_eff = 1.0 -> mo 24
     hh = ww_ = 320
     rng = np.random.default_rng(11)
@@ -203,7 +203,7 @@ def test_init_sel_matches_host_epilogue(setup, monkeypatch):
     from top_down_renderer_tpu.filter.filter import select_init_cost
 
     stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
     mo = ps.pick_crop_size(F, R)
     args = (
         maps,
@@ -233,7 +233,7 @@ def test_init_sel_matches_host_epilogue(setup, monkeypatch):
 
 def test_init_interpret_parity(setup, monkeypatch):
     stencil, scan, cw, maps, centers, costs_e, kf_e, rng = setup
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
     mo = ps.pick_crop_size(F, R)
     nums, dens, kf = ps.score_init_fast_mo(
         maps,

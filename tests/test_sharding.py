@@ -322,8 +322,8 @@ def test_mesh_multi_path_matches_single_chip(monkeypatch):
     from top_down_renderer_tpu.parallel.sharding import make_mesh
 
     # small interpret-mode tiles keep the CPU grid loop fast
-    monkeypatch.setattr(ps, "init_p_tile", lambda mo: 16)
-    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo, **kw: 16)
     pf_s = _mini_world_pf_unknown_scale(mesh=None, seed=11)
     pf_m = _mini_world_pf_unknown_scale(mesh=make_mesh(2), seed=11)
     rng = np.random.default_rng(5)

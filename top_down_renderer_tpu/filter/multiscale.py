@@ -386,7 +386,7 @@ def make_score_tracked_multi(
     def score(pyr, stencil, scan, class_weights, center_px, theta,
               scale, slot_vals, res):
         th, r, _ = stencil.shape
-        p_tile = ps.tracked_p_tile(mo)
+        p_tile = ps.tracked_p_tile(mo, multi=True)
         mips = jnp.asarray(
             [pyr.mips[i] for i in bucket_mip_idx], jnp.float32
         )

@@ -110,15 +110,25 @@ def trim_lanes(mo: int) -> int:
     return t
 
 
-def tracked_p_tile(mo: int) -> int:
+def tracked_p_tile(mo: int, multi: bool = False) -> int:
     # Rows streamed per MXU weight load: the dominant efficiency knob
     # for the in-kernel int8 dot (p_tile rows amortize each 128x128
     # weight-tile load) and for the ~2.7 us/tile grid overhead; the
     # cost is group padding (tiles are (variant, rx)-uniform).  VMEM
     # at mo=24/p_tile=64: 2x double-buffered int8 crops 4.6 MB +
     # trimmed M 3.7 MB.  TDR_P_TILE_TRACKED overrides for sweeps.
+    #
+    # The K-bucket multi path has ~12x the group count (K*N_GROUPS*RX
+    # = 1344 vs 112), so group padding dominates at the uniform-path
+    # tile size: mo=12 multi-tracked measured 29.2 ms at p_tile=192
+    # (n_pad 3.1x the particle count) vs 18.9/18.5 ms at 64/32 on
+    # v5e at 102,400 particles (r4 sweep).
     env = os.environ.get("TDR_P_TILE_TRACKED")
-    return int(env) if env else {12: 192, 24: 64}[mo]
+    if env:
+        return int(env)
+    if multi:
+        return {12: 64, 24: 64}[mo]
+    return {12: 192, 24: 64}[mo]
 
 
 def init_p_tile(mo: int) -> int:
