@@ -56,20 +56,23 @@ from top_down_renderer_tpu.filter.scoring import rotation_shift
 
 MAX_BUCKETS = 12
 SCALE_RTOL = 0.02  # max |scale - slot| / slot within a bucket
-MO_MULTI = 24  # single static crop bucket (f_eff <= 1 always fits)
+MO_MULTI = 12  # single static crop bucket (default; see multi_mo)
 
 
 def multi_mo() -> int:
     """Static crop bucket for the K-bucket multi path.
 
-    Default MO_MULTI=24 scores at the finest mip with f_eff <= 1
-    (stencil NN granularity = mip px).  TDR_MULTI_MO=12 halves the
-    crop rows/lanes (contraction k 28672 -> 8192, crop DMA 35 -> 12 KB
-    per particle) by pushing every bucket ONE mip level coarser
-    (f_eff <= 0.5, granularity 2x) - the measured multi-regime dot +
-    DMA floors scale with k, so this trades pre-freeze scoring
-    granularity for ~2-3x step throughput.  Accuracy A/B: the
-    unknown-scale closed-loop drive (bench_loc --unknown-scale)."""
+    Default 12 scores every bucket one mip level coarser than the
+    f_eff <= 1 assignment (f_eff <= 0.5: stencil NN granularity 2 mip
+    px), halving the crop rows/lanes (contraction k 28672 -> 8192,
+    crop DMA 35 -> 12 KB per particle).  The measured multi-regime dot
+    + DMA floors scale with k, so on v5e at 102,400 particles this is
+    the difference between missing and beating the >=50 steps/s
+    north-star: tracked 30.7 -> 53.1, init 43.9 -> 79.5 steps/s
+    (benchmarks/chain_log.jsonl, round 4).  TDR_MULTI_MO=24 restores
+    finest-mip granularity for the pre-freeze regime (accuracy A/B:
+    the unknown-scale closed-loop drive, bench_loc --unknown-scale;
+    both settings find the true scale on the city drive)."""
     v = int(os.environ.get("TDR_MULTI_MO", MO_MULTI))
     assert v in (12, 24), v
     return v
