@@ -30,7 +30,10 @@ def main():
     data = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "benchmarks", "data")
     bag = Bag.load(os.path.join(data, "city.npz"))
-    make_node, _meta = make_node_factory(data, 20000)
+    # default 20480 = the bench_loc drive count, so this probe rides
+    # the same compiled variants (20000 would re-compile every shape)
+    n = int(os.environ.get("BENCH_N", 20480))
+    make_node, _meta = make_node_factory(data, n)
     node = make_node(0)
 
     stats = {"render": [], "filter": [], "publish": [], "total": []}
