@@ -105,7 +105,11 @@ def _searched_cost_norm(scan, class_weights, num_rot):
     # divide, scoring those candidates one theta bin off
     from top_down_renderer_tpu.filter.scoring import search_shifts
 
-    ssh = np.asarray(search_shifts(th, num_rot))
+    # the shifts are static; evaluate them OUTSIDE any enclosing trace
+    # (inside a jitted step, jnp ops on constants are traced too, and
+    # np.asarray on the tracer would throw)
+    with jax.ensure_compile_time_eval():
+        ssh = np.asarray(search_shifts(th, num_rot))
     cost_cols = (
         jnp.stack([jnp.roll(wscan, -int(s), axis=1) for s in ssh],
                   axis=2)

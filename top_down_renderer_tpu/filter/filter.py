@@ -19,6 +19,7 @@ state_particle.cpp:157-213):
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from typing import Optional, Tuple
 
@@ -45,6 +46,8 @@ from top_down_renderer_tpu.filter.scoring import (
 )
 
 FLT_MAX = float(np.finfo(np.float32).max)
+
+logger = logging.getLogger(__name__)
 
 
 def weight_from_cost(
@@ -316,10 +319,50 @@ def make_update_step_fast(
             params, n_max, k_max, gmm_every, theta_bins
         )
     if path == "conv":
-        conv_scorer = cs.make_conv_scorer(
-            mo, region, mode, params.num_rot_search, map_resolution,
-            window_w=window_w,
+        if mode in ("tracked", "mixed"):
+            conv_tracked = cs.make_conv_scorer(
+                mo, region, "tracked", params.num_rot_search,
+                map_resolution, window_w=window_w,
+            )
+        if mode in ("init", "mixed"):
+            conv_init = cs.make_conv_scorer(
+                mo, region, "init", params.num_rot_search,
+                map_resolution, window_w=window_w,
+            )
+
+    def _score_tracked(p, maps, stencil, scan, f, s0):
+        if path == "conv":
+            num, den, kf = conv_tracked(
+                maps.padded3d, maps.padded4d, maps.pad, stencil,
+                scan, class_weights, p.pose_px(), p.theta, f,
+                p.alive, s0,
+            )
+        else:
+            num, den, kf = ps.score_tracked_fast_mo(
+                maps, stencil, scan, class_weights, p.pose_px(),
+                p.theta, f / mip, mo, map_resolution * mip,
+            )
+        cost = num / den
+        return jnp.where(kf < 0.5, jnp.nan, cost)
+
+    def _score_init(p, maps, stencil, scan, f):
+        if path == "conv":
+            nums, dens, kf = conv_init(
+                maps.padded3d, maps.padded4d, maps.pad, stencil, scan,
+                class_weights, p.pose_px(), p.theta, f, p.alive,
+            )
+            costs = nums / dens
+            costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
+            return select_init_cost(costs, params.num_rot_search)
+        # crop path: the kernel folds select_init_cost + the kf gate in
+        # (sel_init) and reads back via distinct-slot scatters instead
+        # of an (n_pad, 128) row gather
+        best_cost, best_theta, _ = ps.score_init_sel_mo(
+            maps, stencil, scan, class_weights, p.pose_px(),
+            f / mip, mo, params.num_rot_search,
+            map_resolution * mip,
         )
+        return best_cost, best_theta
 
     def score_impl(
         particles: Particles,
@@ -332,38 +375,22 @@ def make_update_step_fast(
         p = particles
         f = p.scale[0] * res  # uniform by contract
         if mode == "tracked":
-            if path == "conv":
-                num, den, kf = conv_scorer(
-                    maps.padded3d, maps.padded4d, maps.pad, stencil,
-                    scan, class_weights, p.pose_px(), p.theta, f,
-                    p.alive, s0,
-                )
-            else:
-                num, den, kf = ps.score_tracked_fast_mo(
-                    maps, stencil, scan, class_weights, p.pose_px(),
-                    p.theta, f / mip, mo, map_resolution * mip,
-                )
-            cost = num / den
-            cost = jnp.where(kf < 0.5, jnp.nan, cost)
-            return cost, p.theta
-        if path == "conv":
-            nums, dens, kf = conv_scorer(
-                maps.padded3d, maps.padded4d, maps.pad, stencil, scan,
-                class_weights, p.pose_px(), p.theta, f, p.alive,
+            return (
+                _score_tracked(p, maps, stencil, scan, f, s0), p.theta
             )
-            costs = nums / dens
-            costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
-            # host only selects this mode when NO particle has init
-            return select_init_cost(costs, params.num_rot_search)
-        # crop path: the kernel folds select_init_cost + the kf gate in
-        # (sel_init) and reads back via distinct-slot scatters instead
-        # of an (n_pad, 128) row gather
-        best_cost, best_theta, _ = ps.score_init_sel_mo(
-            maps, stencil, scan, class_weights, p.pose_px(),
-            f / mip, mo, params.num_rot_search,
-            map_resolution * mip,
+        if mode == "init":
+            return _score_init(p, maps, stencil, scan, f)
+        # mixed have_init (e.g. a mid-run partial reinit): both flavors
+        # in one step + the exact path's per-particle select
+        # (compute_weights, state_particle.cpp:188-210) - two fast
+        # kernel passes instead of a ~300x fall to the exact gather
+        cost_t = _score_tracked(p, maps, stencil, scan, f, s0)
+        cost_i, theta_i = _score_init(p, maps, stencil, scan, f)
+        have = p.have_init
+        return (
+            jnp.where(have, cost_t, cost_i),
+            jnp.where(have, p.theta, theta_i),
         )
-        return best_cost, best_theta
 
     if fused:
 
@@ -429,6 +456,7 @@ def make_update_step_fast(
                 jnp.asarray(s0, jnp.int32), motion,
             )
 
+        update._score_impl = score_impl  # test seam (parity checks)
         return update
 
     score = jax.jit(score_impl)
@@ -451,6 +479,7 @@ def make_update_step_fast(
         )
         return tail_fn(state, cost, new_theta, map_size_scaled)
 
+    update._score_impl = score_impl  # test seam (parity checks)
     return update
 
 
@@ -482,13 +511,13 @@ def make_update_step_multiscale(
             params, n_max, k_max, gmm_every, theta_bins
         )
     if mo is None:
-        mo = ms.multi_mo()
-    if mode == "tracked":
-        scorer = ms.make_score_tracked_multi(
+        mo = ms.multi_mo(n_buckets)
+    if mode in ("tracked", "mixed"):
+        scorer_t = ms.make_score_tracked_multi(
             n_buckets, bucket_mip_idx, map_resolution, interpret, mo
         )
-    else:
-        scorer = ms.make_score_init_multi(
+    if mode in ("init", "mixed"):
+        scorer_i = ms.make_score_init_multi(
             n_buckets, bucket_mip_idx, params.num_rot_search,
             map_resolution, interpret, mo=mo, sel=True,
         )
@@ -503,21 +532,37 @@ def make_update_step_multiscale(
         slot_vals: jnp.ndarray,
     ):
         p = particles
-        if mode == "tracked":
-            num, den, kf = scorer(
+
+        def tracked_cost():
+            num, den, kf = scorer_t(
                 pyr, stencil, scan, class_weights, p.pose_px(),
                 p.theta, p.scale, slot_vals, res,
             )
             cost = num / den
-            cost = jnp.where(kf < 0.5, jnp.nan, cost)
-            return cost, p.theta
-        # sel=True: the kernel already folded select_init_cost + the
-        # kf<0.5 gate in (multiscale.make_score_init_multi)
-        best_cost, best_theta, _ = scorer(
-            pyr, stencil, scan, class_weights, p.pose_px(), p.scale,
-            slot_vals, res,
+            return jnp.where(kf < 0.5, jnp.nan, cost)
+
+        def init_cost():
+            # sel=True: the kernel already folded select_init_cost +
+            # the kf<0.5 gate in (multiscale.make_score_init_multi)
+            best_cost, best_theta, _ = scorer_i(
+                pyr, stencil, scan, class_weights, p.pose_px(),
+                p.scale, slot_vals, res,
+            )
+            return best_cost, best_theta
+
+        if mode == "tracked":
+            return tracked_cost(), p.theta
+        if mode == "init":
+            return init_cost()
+        # mixed have_init: both flavors + per-particle select (the
+        # exact path's compute_weights semantics)
+        cost_t = tracked_cost()
+        cost_i, theta_i = init_cost()
+        have = p.have_init
+        return (
+            jnp.where(have, cost_t, cost_i),
+            jnp.where(have, p.theta, theta_i),
         )
-        return best_cost, best_theta
 
     def update(
         state: FilterState,
@@ -585,6 +630,32 @@ def make_update_step(
     return update
 
 
+# packed host-snapshot layout (_pack_host_snapshot)
+_SNAP_BBOX = slice(0, 4)
+_SNAP_NACT = 4
+_SNAP_ML = slice(5, 9)
+_SNAP_COV = slice(9, 25)
+_SNAP_SMASK = slice(25, None)
+
+
+@jax.jit
+def _pack_host_snapshot(particles, n_active, bbox, smask):
+    """Every tiny per-step host-read value in ONE device vector, so the
+    node loop pays one device->host transfer per scan instead of five
+    (~10-20 ms RPC each on the axon backend).  Layout: bbox[4],
+    n_active, mean-likelihood state[4], mean cov[16], smask[Th]."""
+    ml, cov = stats_mod.pose_stats(particles, n_active)
+    return jnp.concatenate(
+        [
+            bbox.astype(jnp.float32).reshape(4),
+            n_active.astype(jnp.float32).reshape(1),
+            ml.astype(jnp.float32).reshape(4),
+            cov.astype(jnp.float32).reshape(16),
+            smask.astype(jnp.float32).reshape(-1),
+        ]
+    )
+
+
 class ParticleFilter:
     """Host-facing wrapper with the reference's ParticleFilter API
     (particle_filter.h:24-41).
@@ -642,7 +713,7 @@ class ParticleFilter:
         self._fast_fns = {}
         self._sharded_fns = {}
         self._pending_motion = None
-        self._pose_stats_pending = None
+        self._snap_pending = None
         self._maps_cache = {}
         self._pyramid_cache = {}
         self._map_version = 0
@@ -655,6 +726,7 @@ class ParticleFilter:
         # node loop), and these only change via freeze_scale()
         self._scale_frozen_host = False
         self._frozen_scale_cache = -1.0
+        self._slow_reason = None  # last logged exact-gather fallback
 
         if tdmap.have_map:
             self.initialize_particles()
@@ -768,6 +840,56 @@ class ParticleFilter:
 
             self.state = shard_filter_state(self.state, self.mesh)
 
+    def reinitialize_fraction(
+        self, frac: float, seed: int | None = None
+    ) -> None:
+        """Redraw a random subset of the alive particles at fresh road
+        positions with NO theta prior (have_init=False) - a global
+        relocalization kick (the recovery the reference gets from its
+        road-rejection-sampling StateParticle ctor,
+        state_particle.cpp:20-32, when particles are re-created).
+
+        The resulting population has MIXED have_init, which the next
+        update() scores with mode="mixed" on the fast paths (tracked +
+        theta-search flavors in one step, per-particle select) instead
+        of falling to the exact gather."""
+        if self.state is None or frac <= 0.0:
+            return
+        rng = np.random.default_rng(
+            self.seed + 104729 if seed is None else seed
+        )
+        p = self.state.particles
+        alive = np.asarray(p.alive)
+        idx_alive = np.flatnonzero(alive)
+        k = int(round(frac * idx_alive.size))
+        if k == 0:
+            return
+        idx = rng.choice(idx_alive, size=k, replace=False)
+        g = self.map.grid
+        map_size_scaled = np.array(
+            [g.width, g.height], np.float32
+        ) * self.map.resolution
+        pos = particles_mod._sample_positions_on_road(
+            rng, k, np.asarray(g.road_ok), map_size_scaled,
+            self.map.resolution, self.params,
+        )
+        jidx = jnp.asarray(idx)
+        parts = p.replace(
+            init_px=p.init_px.at[jidx].set(
+                jnp.asarray(pos, jnp.float32)
+            ),
+            d_m=p.d_m.at[jidx].set(0.0),
+            theta=p.theta.at[jidx].set(0.0),
+            have_init=p.have_init.at[jidx].set(False),
+        )
+        self.state = self.state.replace(
+            particles=parts,
+            bbox=pose_bbox(parts),
+            # fresh thetas invalidate the device-tracked shift window
+            smask=jnp.ones_like(self.state.smask),
+        )
+        self._all_have_init = False
+
     # -- step ----------------------------------------------------------
     def propagate(self, trans, omega) -> None:
         """Record a body-frame motion; applied at the next update().
@@ -831,6 +953,18 @@ class ParticleFilter:
         )
         self.state = self.state.replace(particles=parts, key=key)
 
+    def _slow_path(self, reason: str):
+        """Exact-gather fallback is a ~300x cliff (BENCH_NOTES: 0.67
+        steps/s vs >=50 at 102k particles) - never take it silently.
+        Logs once per distinct reason per dispatch-state change."""
+        if reason != self._slow_reason:
+            self._slow_reason = reason
+            logger.warning(
+                "falling back to exact-gather scoring (~300x slower): %s",
+                reason,
+            )
+        return None
+
     def _fast_mode(self, res: float):
         """Host-side fast-path dispatch: returns (mode, d, scale) or None.
 
@@ -861,9 +995,11 @@ class ParticleFilter:
         if self._all_have_init:
             mode = "tracked"
         else:
-            # pre-first-update (or post-reinit): every particle either
-            # has a prior theta or none do (initialize_particles sets
-            # have_init uniformly, particles.py)
+            # pre-first-update: every particle either has a prior theta
+            # or none do (initialize_particles sets have_init
+            # uniformly); a mid-run PARTIAL reinit yields "mixed", which
+            # runs both fast flavors + a per-particle select instead of
+            # falling ~300x to the exact gather
             have = np.asarray(self.state.particles.have_init)
             alive = np.asarray(self.state.particles.alive)
             if np.all(have[alive]):
@@ -871,12 +1007,13 @@ class ParticleFilter:
             elif not np.any(have[alive]):
                 mode = "init"
             else:
-                return None
+                mode = "mixed"
 
         # clustered cloud -> conv cost-field path (bbox kept on device)
         region = None
-        if int(self.state.n_active) > 0 and mo_conv is not None:
-            bb = np.asarray(self.state.bbox) / self.map.resolution
+        if self.n_active_host() > 0 and mo_conv is not None:
+            snap = self._host_snapshot()
+            bb = snap[_SNAP_BBOX] / self.map.resolution
             extent = int(
                 np.ceil(max(bb[2] - bb[0], bb[3] - bb[1]))
             ) + 2
@@ -889,7 +1026,13 @@ class ParticleFilter:
                 if (region + dr - 1 > pm.hp) or (region + dc - 1 > pm.wp):
                     region = None
         if region is not None:
-            s0, ww = self._shift_window()
+            if mode == "mixed":
+                # the device-tracked smask predates the partial reinit
+                # (fresh thetas aren't in it): full shift window
+                s0, ww = 0, self.theta_bins
+            else:
+                s0, ww = self._shift_window()
+            self._slow_reason = None
             return (mode, mo_conv, scale, "conv", region, s0, ww, 1)
         if mo_crop is None:
             # exploration regime (scale*res beyond every crop bucket, or
@@ -905,7 +1048,11 @@ class ParticleFilter:
                 if mo_crop is not None:
                     break
             else:
-                return None
+                return self._slow_path(
+                    "scale*res=%.3g exceeds every crop bucket even at "
+                    "mip 32" % (scale * res)
+                )
+        self._slow_reason = None
         return (
             mode, mo_crop, scale, "crop", 0, 0, self.theta_bins, mip
         )
@@ -932,15 +1079,19 @@ class ParticleFilter:
             elif not np.any(have[alive_m]):
                 mode = "init"
             else:
-                return None
+                mode = "mixed"
         p = self.state.particles
         alive = np.asarray(p.alive)
         scales = np.asarray(p.scale)[alive]
         if scales.size == 0:
-            return None
+            return self._slow_path("no alive particles with scale > 0")
         slots = ms.cluster_scales(scales)
         if slots is None:
-            return None  # diffuse continuum: exact gather
+            # diffuse continuum: exact gather
+            return self._slow_path(
+                "alive scales form a continuum (> %d clusters at "
+                "rtol %.2g)" % (ms.MAX_BUCKETS, ms.SCALE_RTOL)
+            )
         # pad K to a few static sizes so buckets dying off as the scale
         # posterior sharpens doesn't recompile at every count
         k = len(slots)
@@ -957,15 +1108,20 @@ class ParticleFilter:
         # slot that saturates even mip=64 drops the whole dispatch to the
         # exact gather - the crop kernel would silently alias/drop points.
         range_bins = self.map.stencil.shape[1]
-        mo = ms.multi_mo()
+        # adaptive precision: coarse mo while the posterior is wide
+        # (many buckets), fine mo once it sharpens (see ms.multi_mo)
+        mo = ms.multi_mo(kp)
         fmax = mo / max(range_bins - 1, 1)
         mips = tuple(
             ms.mip_for_f(float(s) * res, fmax) for s in slots_p
         )
         if any(m is None for m in mips):
-            return None
+            return self._slow_path(
+                "a scale bucket saturates even the mip-64 pyramid level"
+            )
         levels = tuple(sorted(set(mips)))
         bmi = tuple(levels.index(m) for m in mips)
+        self._slow_reason = None
         return (mode, mo, None, "multi", slots_p, levels, bmi, kp)
 
     def _get_pyramid_maps(self, levels):
@@ -1008,7 +1164,7 @@ class ParticleFilter:
         the device-tracked smask), padded for this step's rotation delta
         and theta noise, bucketed to {16, 32, 64, theta_bins}."""
         th = self.theta_bins
-        sm = np.asarray(self.state.smask)
+        sm = self._host_snapshot()[_SNAP_SMASK] > 0.5
         present = np.nonzero(sm)[0]
         if len(present) == 0 or len(present) == th:
             return 0, th
@@ -1264,10 +1420,12 @@ class ParticleFilter:
             return
         if fast is not None and fast[3] == "conv":
             mode, mo, _scale, _path, region, s0, ww, _mip = fast
-            s_out = (
-                2 * ww + 1 if mode == "tracked"
-                else 2 * self.params.num_rot_search + 1
-            )
+            s_out = {
+                "tracked": 2 * ww + 1,
+                "init": 2 * self.params.num_rot_search + 1,
+                # mixed rides one conv with both column sets
+                "mixed": 2 * ww + 2 * self.params.num_rot_search + 2,
+            }[mode]
             dr, dc = cs.conv_dims(mo)
             k4_bytes = (
                 16 * s_out * cs.s2d_extent(dr) * cs.s2d_extent(dc)
@@ -1300,7 +1458,7 @@ class ParticleFilter:
 
     def update(self, scan, res) -> None:
         """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
-        if self.state is None or int(self.state.n_active) == 0:
+        if self.state is None or self.n_active_host() == 0:
             return
         g = self.map.grid
         map_size_scaled = (
@@ -1364,32 +1522,46 @@ class ParticleFilter:
         self._prefetch_dispatch_state()
 
     def _prefetch_dispatch_state(self) -> None:
-        """Start async device->host copies of the tiny arrays the next
-        step's dispatch reads (_fast_mode: bbox/smask/scale), so the
-        host decision overlaps this step's tail instead of paying a
-        fresh blocking round-trip (the reads still order after the
-        step's collectives - the variant choice needs the real data)."""
+        """Dispatch + async-prefetch ONE packed vector holding every
+        tiny value the next step's dispatch and the node's publish read
+        (bbox, n_active, ml, cov, smask).  On the axon backend each
+        eager device read is its own ~10-20 ms RPC round trip - five
+        separate reads per scan made the node loop ~5x slower than its
+        device step.  One fused pack dispatch + one transfer per step;
+        consumers go through _host_snapshot (one blocking wait, then a
+        host-cache read)."""
         st = self.state
         try:
-            st.bbox.copy_to_host_async()
-            st.smask.copy_to_host_async()
-            st.n_active.copy_to_host_async()
+            vec = _pack_host_snapshot(
+                st.particles, st.n_active, st.bbox, st.smask
+            )
+            vec.copy_to_host_async()
+            self._snap_pending = [st, vec, None]
             if self.params.fixed_scale <= 0:
+                # the multi-path clustering needs the full scale vector
                 st.particles.scale.copy_to_host_async()
-        except AttributeError:
-            pass  # non-jax arrays (tests stubbing state)
-        # also dispatch + prefetch the node's per-publish (ml, cov)
-        # pair: the reductions are ~us of device work but a fresh
-        # blocking dispatch at publish time costs two axon RPC round
-        # trips (~10-20 ms each); dispatched here they pipeline behind
-        # the step and publish reads the host cache
-        try:
-            ml, cov = stats_mod.pose_stats(st.particles, st.n_active)
-            ml.copy_to_host_async()
-            cov.copy_to_host_async()
-            self._pose_stats_pending = (st, ml, cov)
         except (AttributeError, TypeError):
-            self._pose_stats_pending = None
+            self._snap_pending = None  # non-jax arrays (test stubs)
+
+    def _host_snapshot(self) -> np.ndarray:
+        """Host copy of the packed per-step snapshot (see
+        _prefetch_dispatch_state); layout _SNAP_*.  At most one blocking
+        device fetch per step."""
+        pend = getattr(self, "_snap_pending", None)
+        if pend is not None and pend[0] is self.state:
+            if pend[2] is None:
+                pend[2] = np.asarray(pend[1])
+            return pend[2]
+        st = self.state
+        vec = _pack_host_snapshot(
+            st.particles, st.n_active, st.bbox, st.smask
+        )
+        out = np.asarray(vec)
+        self._snap_pending = [st, vec, out]
+        return out
+
+    def n_active_host(self) -> int:
+        return int(self._host_snapshot()[_SNAP_NACT])
 
     # -- queries (particle_filter.h:29-41) -----------------------------
     def mean_likelihood(self) -> np.ndarray:
@@ -1409,16 +1581,12 @@ class ParticleFilter:
     def pose_stats(self):
         """(mean_likelihood (4,), mean_cov (4,4)) for the node's
         per-publish pair; normally pre-dispatched + host-prefetched by
-        _prefetch_dispatch_state so this is a cache read."""
-        pend = getattr(self, "_pose_stats_pending", None)
-        if pend is not None and pend[0] is self.state:
-            ml, cov = pend[1], pend[2]
-        else:
-            ml, cov = stats_mod.pose_stats(
-                self.state.particles, self.state.n_active
-            )
-        ml, cov = jax.device_get((ml, cov))
-        return np.asarray(ml), np.asarray(cov)
+        _prefetch_dispatch_state so this is a host-cache read."""
+        snap = self._host_snapshot()
+        return (
+            snap[_SNAP_ML].astype(np.float64),
+            snap[_SNAP_COV].reshape(4, 4).astype(np.float64),
+        )
 
     def max_likelihood(self) -> np.ndarray:
         return np.asarray(self.state.ml_state)
@@ -1471,7 +1639,7 @@ class ParticleFilter:
         return -1.0
 
     def num_particles(self) -> int:
-        return int(self.state.n_active) if self.state is not None else 0
+        return self.n_active_host() if self.state is not None else 0
 
     # -- dynamic map (particle_filter.cpp:320-341) ---------------------
     def update_map(self, ind_img, map_center) -> None:

@@ -56,26 +56,45 @@ from top_down_renderer_tpu.filter.scoring import rotation_shift
 
 MAX_BUCKETS = 12
 SCALE_RTOL = 0.02  # max |scale - slot| / slot within a bucket
-MO_MULTI = 12  # single static crop bucket (default; see multi_mo)
+MO_MULTI = 12  # coarse static crop bucket (wide-posterior phase)
+MO_MULTI_FINE = 24  # fine crop bucket (sharpened-posterior phase)
+# adaptive threshold: bucket counts <= this score at the fine mo
+MULTI_FINE_KMAX = 4
 
 
-def multi_mo() -> int:
-    """Static crop bucket for the K-bucket multi path.
+def multi_mo(n_buckets: int = MAX_BUCKETS) -> int:
+    """Crop bucket for the K-bucket multi path, adaptive in the width
+    of the scale posterior (measured by the padded bucket count the
+    host clustering produced for this step).
 
-    Default 12 scores every bucket one mip level coarser than the
-    f_eff <= 1 assignment (f_eff <= 0.5: stencil NN granularity 2 mip
-    px), halving the crop rows/lanes (contraction k 28672 -> 8192,
-    crop DMA 35 -> 12 KB per particle).  The measured multi-regime dot
-    + DMA floors scale with k, so on v5e at 102,400 particles this is
-    the difference between missing and beating the >=50 steps/s
-    north-star: tracked 30.7 -> 53.1, init 43.9 -> 79.5 steps/s
-    (benchmarks/chain_log.jsonl, round 4).  TDR_MULTI_MO=24 restores
-    finest-mip granularity for the pre-freeze regime (accuracy A/B:
-    the unknown-scale closed-loop drive, bench_loc --unknown-scale;
-    both settings find the true scale on the city drive)."""
-    v = int(os.environ.get("TDR_MULTI_MO", MO_MULTI))
-    assert v in (12, 24), v
-    return v
+    mo=12 scores every bucket one mip level coarser than the f_eff <= 1
+    assignment (f_eff <= 0.5: stencil NN granularity 2 mip px), halving
+    the crop rows/lanes (contraction k 28672 -> 8192, crop DMA 35 ->
+    12 KB per particle).  mo=24 is finest-mip granularity.
+
+    Measured tradeoff (TPU v5e, 102,400 particles, round 4): fixed
+    mo=12 lifts throughput past the >=50 steps/s north-star (tracked
+    30.7 -> 53.1, init 43.9 -> 79.5 steps/s,
+    benchmarks/chain_log.jsonl) but REGRESSES the unknown-scale
+    closed-loop drive mean error 9.68 m -> 13.11 m (+35%, scale
+    rel-err 2.5% -> 3.4-4.6%; benchmarks/loc_results.json tags
+    benchmark_loc_uscale{,_mo12}).  The adaptive default resolves
+    that: while the scale posterior is wide (>MULTI_FINE_KMAX padded
+    buckets - e.g. the 10 discrete init hypotheses,
+    particle_filter.cpp:19-25) precision is convergence-limited and
+    the coarse mo keeps exploration fast; once the posterior sharpens
+    to <=MULTI_FINE_KMAX buckets (resampling collapses survivors to
+    within a few % of the true scale) the fine mo restores 1-mip-px
+    pose precision, and the smaller M-variant table (K*groups rows)
+    keeps the step fast.  TDR_MULTI_MO=12|24 forces a fixed value for
+    A/B sweeps (bench.py BENCH_MULTI=1 measures kp=12, i.e. mo=12,
+    under the adaptive default)."""
+    v = os.environ.get("TDR_MULTI_MO", "")
+    if v:
+        v = int(v)
+        assert v in (MO_MULTI, MO_MULTI_FINE), v
+        return v
+    return MO_MULTI_FINE if n_buckets <= MULTI_FINE_KMAX else MO_MULTI
 
 
 def cluster_scales(

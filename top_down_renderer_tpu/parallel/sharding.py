@@ -370,13 +370,13 @@ def make_sharded_step_multi(
     n_local = n_max // n_dev
     class_weights = _pad_class_weights(params, num_classes)
     if mo is None:
-        mo = ms.multi_mo()
-    if mode == "tracked":
-        scorer = ms.make_score_tracked_multi(
+        mo = ms.multi_mo(n_buckets)
+    if mode in ("tracked", "mixed"):
+        scorer_t = ms.make_score_tracked_multi(
             n_buckets, bucket_mip_idx, map_resolution, interpret, mo
         )
-    else:
-        scorer = ms.make_score_init_multi(
+    if mode in ("init", "mixed"):
+        scorer_i = ms.make_score_init_multi(
             n_buckets, bucket_mip_idx, params.num_rot_search,
             map_resolution, interpret, mo=mo,
         )
@@ -392,24 +392,33 @@ def make_sharded_step_multi(
     ) -> FilterState:
         p = state.particles  # local shard (n_local)
         key, k_rs, k_gmm = jax.random.split(state.key, 3)
-        if mode == "tracked":
-            num, den, kf = scorer(
+
+        def tracked_cost():
+            num, den, kf = scorer_t(
                 pyr, stencil, scan, class_weights, p.pose_px(),
                 p.theta, p.scale, slot_vals, res,
             )
             cost = num / den
-            cost = jnp.where(kf < 0.5, jnp.nan, cost)
-            new_theta = p.theta
-        else:
-            nums, dens, kf = scorer(
+            return jnp.where(kf < 0.5, jnp.nan, cost)
+
+        def init_cost():
+            nums, dens, kf = scorer_i(
                 pyr, stencil, scan, class_weights, p.pose_px(),
                 p.scale, slot_vals, res,
             )
             costs = nums / dens
             costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
-            cost, new_theta = select_init_cost(
-                costs, params.num_rot_search
-            )
+            return select_init_cost(costs, params.num_rot_search)
+
+        if mode == "tracked":
+            cost, new_theta = tracked_cost(), p.theta
+        elif mode == "init":
+            cost, new_theta = init_cost()
+        else:  # mixed have_init: both flavors, per-particle select
+            cost_t = tracked_cost()
+            cost_i, theta_i = init_cost()
+            cost = jnp.where(p.have_init, cost_t, cost_i)
+            new_theta = jnp.where(p.have_init, p.theta, theta_i)
         p = p.replace(
             theta=new_theta, have_init=jnp.ones_like(p.have_init)
         )
@@ -479,7 +488,12 @@ def make_sharded_step_fast(
     n_local = n_max // n_dev
     class_weights = _pad_class_weights(params, num_classes)
     num_rot = params.num_rot_search
-    s_out = 2 * window_w + 1 if mode == "tracked" else 2 * num_rot + 1
+    s_out_t = 2 * window_w + 1
+    s_out_i = 2 * num_rot + 1
+    # mixed have_init: both column sets ride ONE conv (kernels
+    # concatenated along the output axis)
+    s_out = {"tracked": s_out_t, "init": s_out_i,
+             "mixed": s_out_t + s_out_i}[mode]
     dr, dc = cs.conv_dims(mo)
     f4 = cs.F_S2D
     dye, dxe = cs.s2d_extent(dr), cs.s2d_extent(dc)
@@ -519,10 +533,25 @@ def make_sharded_step_fast(
         )
         th, r, _ = stencil.shape
         f = p.scale[0] * res  # uniform by contract
-        kernel = cs.build_conv_kernel(
-            scan, class_weights, stencil, f, mo, mode, num_rot,
-            window_w, s0,
-        )
+        if mode == "mixed":
+            kernel = jnp.concatenate(
+                [
+                    cs.build_conv_kernel(
+                        scan, class_weights, stencil, f, mo, "tracked",
+                        num_rot, window_w, s0,
+                    ),
+                    cs.build_conv_kernel(
+                        scan, class_weights, stencil, f, mo, "init",
+                        num_rot, window_w, s0,
+                    ),
+                ],
+                axis=-1,
+            )
+        else:
+            kernel = cs.build_conv_kernel(
+                scan, class_weights, stencil, f, mo, mode, num_rot,
+                window_w, s0,
+            )
         center_px = p.pose_px()
         cy = jnp.round(center_px[:, 1] / map_resolution).astype(
             jnp.int32
@@ -600,23 +629,33 @@ def make_sharded_step_fast(
             field = jax.lax.all_gather(out_loc, axis, tiled=True)
             flat = field.reshape(-1)
             base = (iy * region + ix) * s_out
-        if mode == "tracked":
+        def tracked_cost(off):
             s = rotation_shift(p.theta, th)
             local = jnp.clip((s - s0) % th, 0, window_w - 1)
-            num = flat[base + local]
-            den = flat[base + window_w + local]
-            kf = flat[base + 2 * window_w] / (th * r)
-            cost = num / den
-            cost = jnp.where(kf < 0.5, jnp.nan, cost)
-            new_theta = p.theta
-        else:
-            idx = base[:, None] + jnp.arange(num_rot)[None, :]
+            num = flat[base + off + local]
+            den = flat[base + off + window_w + local]
+            kf = flat[base + off + 2 * window_w] / (th * r)
+            c = num / den
+            return jnp.where(kf < 0.5, jnp.nan, c)
+
+        def init_cost(off):
+            idx = base[:, None] + off + jnp.arange(num_rot)[None, :]
             nums = flat[idx]
             dens = flat[idx + num_rot]
-            kf = flat[base + 2 * num_rot] / (th * r)
+            kf = flat[base + off + 2 * num_rot] / (th * r)
             costs = nums / dens
             costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
-            cost, new_theta = select_init_cost(costs, num_rot)
+            return select_init_cost(costs, num_rot)
+
+        if mode == "tracked":
+            cost, new_theta = tracked_cost(0), p.theta
+        elif mode == "init":
+            cost, new_theta = init_cost(0)
+        else:  # mixed: per-particle select between the two column sets
+            cost_t = tracked_cost(0)
+            cost_i, theta_i = init_cost(s_out_t)
+            cost = jnp.where(p.have_init, cost_t, cost_i)
+            new_theta = jnp.where(p.have_init, p.theta, theta_i)
         p = p.replace(
             theta=new_theta, have_init=jnp.ones_like(p.have_init)
         )
