@@ -11,12 +11,27 @@ run() {
   local rc=$?
   local line
   line=$(echo "$out" | grep '^{' | tail -1)
-  echo "{\"tag\": \"$tag\", \"rc\": $rc, \"env\": \"$*\", \"bench\": ${line:-null}}" >> $LOG
+  # build the log line with json.dumps: malformed bench output (e.g. a
+  # partial line on timeout) degrades to bench=null instead of
+  # corrupting the JSONL; env values with quotes/backslashes are safe
+  TAG="$tag" RC="$rc" ENVSTR="$*" LINE="$line" python3 - >> $LOG <<'EOF'
+import json, os
+try:
+    bench = json.loads(os.environ.get("LINE", ""))
+except (json.JSONDecodeError, ValueError):
+    bench = None
+print(json.dumps({
+    "tag": os.environ["TAG"],
+    "rc": int(os.environ["RC"]),
+    "env": os.environ["ENVSTR"],
+    "bench": bench,
+}))
+EOF
   echo "=== $tag rc=$rc: $line ===" >&2
   tail -3 /tmp/chain_err.txt >&2
 }
 run headline
-run multi_tracked_mo12 TDR_MULTI_MO=12 BENCH_MULTI=1
-run multi_init_mo12 TDR_MULTI_MO=12 BENCH_MULTI=1 BENCH_MODE=init
+run multi_tracked BENCH_MULTI=1
+run multi_init BENCH_MULTI=1 BENCH_MODE=init
 run spread_tracked BENCH_EXTENT=0 BENCH_THETA_SPREAD=0
 echo "CHAIN DONE" >&2

@@ -96,27 +96,26 @@ def test_connection_after_message(tmp_path):
 
 
 def test_lz4_chunk_gated(tmp_path):
-    """lz4 chunks either decode (package present) or raise the
-    documented RuntimeError - never a hang or an opaque crash."""
+    """lz4 chunks decode without the lz4 package (pure-Python frame
+    fallback, test_rosbag.py round-trips them); GARBAGE lz4 data raises
+    a clear ValueError - never a hang or an opaque crash."""
     chunk = _connection(0, "/pc", "sensor_msgs/PointCloud2")
     p = tmp_path / "lz4.bag"
-    try:
-        import lz4.frame
+    from test_rosbag import lz4_frame_store
 
-        cdata = lz4.frame.compress(chunk)
-        p.write_bytes(
-            MAGIC + _bag_header()
-            + _chunk(chunk, b"lz4", data=cdata)
-        )
-        msgs = list(RosbagReader(str(p)).messages())
-        assert msgs == []  # connection only, no messages
-    except ImportError:
-        p.write_bytes(
-            MAGIC + _bag_header()
-            + _chunk(chunk, b"lz4", data=b"\x04\x22garbage")
-        )
-        with pytest.raises(RuntimeError, match="lz4"):
-            list(RosbagReader(str(p)).messages())
+    p.write_bytes(
+        MAGIC + _bag_header()
+        + _chunk(chunk, b"lz4", data=lz4_frame_store(chunk))
+    )
+    msgs = list(RosbagReader(str(p)).messages())
+    assert msgs == []  # connection only, no messages
+
+    p.write_bytes(
+        MAGIC + _bag_header()
+        + _chunk(chunk, b"lz4", data=b"\x04\x22garbage")
+    )
+    with pytest.raises(ValueError, match="LZ4"):
+        list(RosbagReader(str(p)).messages())
 
 
 def test_unknown_compression_rejected(tmp_path):

@@ -85,6 +85,74 @@ def test_run_node_config_loading(tmp_path):
     assert fo["init_pos_m_x"] == float("inf")
 
 
+def test_grid_map_payload_end_to_end():
+    """A raw grid_map-style payload (layers/data/pose) must feed the
+    dynamic-map path end-to-end: toImage char conversion + 90-degree
+    clockwise rotation in-repo (the reference delegates this to the
+    external GridMapComp, top_down_render.cpp:574-593), then
+    filter.update_map + deferred particle init."""
+    from top_down_renderer_tpu.config import (
+        ClassConfig,
+        MapConfig,
+        RuntimeParams,
+    )
+    from top_down_renderer_tpu.runtime.node import TopDownRenderNode
+
+    color_lut = np.full((256, 3), 255, np.uint8)
+    cc = ClassConfig(
+        color_lut=color_lut,
+        class_to_flattened=[0, 1, 2],
+        flattened_to_class=[0, 1, 2],
+        exclusivity=[True] * 3,
+        loc_weight=[1.0] * 3,
+    )
+    node = TopDownRenderNode(
+        cc, MapConfig(dynamic=True, resolution=1.0),
+        RuntimeParams(particle_count=64),
+        filter_overrides={"fixed_scale": 1.0},
+    )
+    assert not node.map.have_map
+    assert node.filter.state is None  # deferred init (no map yet)
+
+    rows, cols = 96, 96
+    mat = np.zeros((rows, cols), np.float32)
+    mat[:, 40:48] = 1.0  # road band along matrix rows
+    mat[0, 0] = np.nan  # unseen cell -> 255 (unknown)
+    payload = {
+        "stamp": 1.0,
+        "layers": ["semantics", "elevation"],
+        "data": {"semantics": mat},
+        "pose_x": 0.0,
+        "pose_y": 0.0,
+        "length_x": float(cols),
+        "length_y": float(rows),
+    }
+    node.aerial_map_grid_callback(payload)
+    assert node.map.have_map
+    assert node.filter.num_particles() > 0
+    # rot90(k=-1): matrix (r, c) -> image (c, rows-1-r); the road band
+    # (cols 40:48 of every row) becomes image rows 40:48
+    img_road = np.zeros((cols, rows), bool)
+    img_road[40:48, :] = True
+    # image row 0 at top -> map y flipped in class_maps_from_index_image
+    y_img, x = 44, 50
+    y_map = rows - 1 - y_img
+    assert 1 in node.map.get_classes_at_point((x, y_map))
+    assert 1 not in node.map.get_classes_at_point((x, y_map - 30))
+    # stale or empty maps are rejected (top_down_render.cpp:575-576)
+    ver = node.filter._map_version
+    node.aerial_map_grid_callback({**payload, "stamp": 0.5})
+    node.aerial_map_grid_callback(
+        {**payload, "stamp": 2.0, "length_x": 0.0}
+    )
+    assert node.filter._map_version == ver
+    # a payload without a semantics layer is ignored
+    node.aerial_map_grid_callback(
+        {**payload, "stamp": 3.0, "layers": ["elevation"]}
+    )
+    assert node.filter._map_version == ver
+
+
 def test_node_visualize_analog():
     from top_down_renderer_tpu.config import (
         ClassConfig,

@@ -71,6 +71,102 @@ def _records(buf: bytes, pos: int = 0) -> Iterator[Tuple[Dict, bytes]]:
         yield header, data
 
 
+def lz4_block_decompress(src: bytes) -> bytes:
+    """Pure-Python LZ4 *block* decoder (the raw sequence format:
+    token = literal-len nibble | match-len nibble, LE u16 match offset,
+    0xFF length-extension bytes; lz4.org block format spec)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence is literals-only
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise ValueError("corrupt lz4 block: bad match offset")
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:
+            # overlapping match = repeated pattern of length `offset`
+            pat = bytes(out[start:])
+            out += (pat * (mlen // offset + 1))[:mlen]
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """Pure-Python LZ4 *frame* decoder covering what roslz4 emits
+    (ros_comm/utilities/roslz4/src/lz4s.c writes the LZ4 frame format:
+    magic 0x184D2204, FLG/BD descriptor, blocks with a high-bit
+    'uncompressed' flag, zero end mark).  Checksums are skipped, not
+    verified (integrity is the transport's job here)."""
+    i, n = 0, len(data)
+    out = bytearray()
+    while i < n:
+        (magic,) = struct.unpack_from("<I", data, i)
+        i += 4
+        if magic == 0x184D2A50:  # skippable frame
+            (sz,) = struct.unpack_from("<I", data, i)
+            i += 4 + sz
+            continue
+        if magic != 0x184D2204:
+            raise ValueError(
+                f"not an LZ4 frame (magic {magic:#x})"
+            )
+        flg = data[i]
+        bd_unused = data[i + 1]  # noqa: F841 - block-size table byte
+        i += 2
+        if (flg >> 6) != 0b01:
+            raise ValueError("unsupported LZ4 frame version")
+        b_checksum = bool(flg & 0x10)
+        c_size = bool(flg & 0x08)
+        c_checksum = bool(flg & 0x04)
+        dict_id = bool(flg & 0x01)
+        if c_size:
+            i += 8
+        if dict_id:
+            i += 4
+        i += 1  # header checksum byte (xxh32>>8), not verified
+        while True:
+            (bsize,) = struct.unpack_from("<I", data, i)
+            i += 4
+            if bsize == 0:  # end mark
+                break
+            uncompressed = bool(bsize & 0x80000000)
+            bsize &= 0x7FFFFFFF
+            block = data[i : i + bsize]
+            i += bsize
+            out += block if uncompressed else lz4_block_decompress(
+                block
+            )
+            if b_checksum:
+                i += 4
+        if c_checksum:
+            i += 4
+    return bytes(out)
+
+
 def _decompress(compression: bytes, data: bytes, size: int) -> bytes:
     if compression in (b"none", b""):
         return data
@@ -78,12 +174,12 @@ def _decompress(compression: bytes, data: bytes, size: int) -> bytes:
         return bz2.decompress(data)
     if compression == b"lz4":
         try:
-            import lz4.frame  # not in the base image; gate gracefully
-        except ImportError as e:
-            raise RuntimeError(
-                "bag chunk is lz4-compressed and the lz4 package is "
-                "unavailable; re-record with bz2/none compression"
-            ) from e
+            import lz4.frame  # fast path when the package exists
+        except ImportError:
+            # Ouster-era bags are commonly lz4-chunked
+            # (/root/reference/scripts/benchmark_loc.py replays such
+            # bags); decode in pure Python rather than refusing
+            return lz4_frame_decompress(data)
         return lz4.frame.decompress(data)
     raise ValueError(f"unknown chunk compression {compression!r}")
 
@@ -195,13 +291,9 @@ class _Cursor:
         return sec + nsec * 1e-9
 
 
-def decode_pointcloud2(
-    raw: bytes, class_field: str = "intensity"
-) -> Tuple[float, np.ndarray]:
-    """sensor_msgs/PointCloud2 -> (stamp, (N, 4) x y z class).
-
-    The reference stores the semantic class id in the intensity field
-    (/root/reference/src/scan_renderer.cpp:72)."""
+def _decode_pc2_raw(raw: bytes, class_field: str):
+    """Shared PointCloud2 wire parse -> (stamp, height, width,
+    (H*W, 4) float32 x y z class) with padding/NaN points intact."""
     c = _Cursor(raw)
     stamp = c.header()
     height, width = c.u32(), c.u32()
@@ -242,9 +334,39 @@ def decode_pointcloud2(
     pts = np.stack(
         [col("x"), col("y"), col("z"), col(class_field)], axis=-1
     )
+    return stamp, height, width, pts
+
+
+def decode_pointcloud2(
+    raw: bytes, class_field: str = "intensity"
+) -> Tuple[float, np.ndarray]:
+    """sensor_msgs/PointCloud2 -> (stamp, (N, 4) x y z class).
+
+    The reference stores the semantic class id in the intensity field
+    (/root/reference/src/scan_renderer.cpp:72)."""
+    stamp, _h, _w, pts = _decode_pc2_raw(raw, class_field)
     # drop non-finite points (organized clouds pad with NaN)
     pts = pts[np.isfinite(pts[:, :3]).all(axis=1)]
     return stamp, pts
+
+
+def decode_pointcloud2_organized(
+    raw: bytes, class_field: str = "intensity"
+) -> Tuple[float, np.ndarray]:
+    """sensor_msgs/PointCloud2 with height > 1 -> (stamp, (H, W, 4)
+    x y z class), the organized grid PRESERVED for the Cartesian
+    geometric renderer (render/geometric.py: column-wise slope walk
+    over the organized cloud, scan_renderer.cpp:7-53).  NaN / infinite
+    padding points are mapped to (0, 0, 0, 0) - the renderer's
+    invalid-point convention (x == 0 and y == 0)."""
+    stamp, h, w, pts = _decode_pc2_raw(raw, class_field)
+    if h <= 1:
+        raise ValueError(
+            f"cloud is unorganized (height={h}); use decode_pointcloud2"
+        )
+    bad = ~np.isfinite(pts).all(axis=1)
+    pts[bad] = 0.0
+    return stamp, pts.reshape(h, w, 4)
 
 
 def decode_pose(c: _Cursor) -> Tuple[np.ndarray, np.ndarray]:

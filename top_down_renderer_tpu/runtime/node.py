@@ -273,6 +273,47 @@ class TopDownRenderNode:
             ]
         )
 
+    def aerial_map_grid_callback(self, grid_map: dict) -> None:
+        """Raw grid_map-style payload -> class-index image -> dynamic
+        map ingestion.  In-repo equivalent of the external
+        GridMapComp::toImage + cv::rotate step the reference runs
+        before its aerialMapCallback body
+        (/root/reference/src/top_down_render.cpp:574-593).
+
+        grid_map keys (grid_map_msgs/GridMap field names):
+          stamp: float seconds
+          layers: list[str] - must contain "semantics"
+          data: {layer: (rows, cols) float array} - grid_map matrix
+                convention: row 0 / col 0 at the +x/+y map corner,
+                values are raw class indices (NaN = unknown -> 255)
+          pose_x, pose_y: map-frame position of the grid center (m)
+          length_x, length_y: grid extent (m)
+        """
+        stamp = float(grid_map.get("stamp", 0.0))
+        if (
+            grid_map.get("length_x", 1.0) <= 0
+            or grid_map.get("length_y", 1.0) <= 0
+        ):
+            return  # empty map (top_down_render.cpp:576)
+        layers = grid_map.get("layers", [])
+        if "semantics" not in layers:
+            return
+        mat = np.asarray(grid_map["data"]["semantics"], np.float64)
+        # toImage {"semantics", "", "char"}: float class ids -> uint8,
+        # NaN (unseen cells) -> 255 (the LUT's unknown slot)
+        img = np.where(np.isfinite(mat), mat, 255.0).astype(np.uint8)
+        # the grid_map matrix x-axis (rows, +x) points opposite the
+        # image y-axis; ROTATE_90_CLOCKWISE (top_down_render.cpp:583)
+        # = np.rot90(k=-1)
+        ind_img = np.ascontiguousarray(np.rot90(img, k=-1))
+        pose_xy = np.array(
+            [
+                float(grid_map.get("pose_x", 0.0)),
+                float(grid_map.get("pose_y", 0.0)),
+            ]
+        )
+        self.aerial_map_callback(stamp, ind_img, pose_xy)
+
     def aerial_map_callback(
         self, stamp: float, ind_img: np.ndarray, pose_xy: np.ndarray
     ) -> None:
