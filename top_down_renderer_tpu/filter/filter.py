@@ -283,6 +283,7 @@ def make_update_step_fast(
     window_w: int = 100,
     mip: int = 1,
     fused: bool | None = None,
+    with_snapshot: bool = False,
 ):
     """Update using a fast scoring path (uniform scale): a jitted scoring
     stage + the shared jitted tail (two dispatches; both stay on device).
@@ -433,9 +434,14 @@ def make_update_step_fast(
             w_raw = weight_from_cost(
                 cost, p, params, map_size_scaled
             )
-            return update_tail(
+            out = update_tail(
                 state, p, w_raw, n_max, k_max, gmm_every, theta_bins
             )
+            if with_snapshot:
+                # the host snapshot rides the same dispatch (one jit
+                # call per scan instead of step + pack)
+                return out, _snapshot_vec(out)
+            return out
 
         def update(
             state: FilterState,
@@ -638,22 +644,26 @@ _SNAP_COV = slice(9, 25)
 _SNAP_SMASK = slice(25, None)
 
 
-@jax.jit
-def _pack_host_snapshot(particles, n_active, bbox, smask):
+def _snapshot_vec(state: FilterState) -> jnp.ndarray:
     """Every tiny per-step host-read value in ONE device vector, so the
     node loop pays one device->host transfer per scan instead of five
     (~10-20 ms RPC each on the axon backend).  Layout: bbox[4],
     n_active, mean-likelihood state[4], mean cov[16], smask[Th]."""
-    ml, cov = stats_mod.pose_stats(particles, n_active)
+    ml, cov = stats_mod.pose_stats(state.particles, state.n_active)
     return jnp.concatenate(
         [
-            bbox.astype(jnp.float32).reshape(4),
-            n_active.astype(jnp.float32).reshape(1),
+            state.bbox.astype(jnp.float32).reshape(4),
+            state.n_active.astype(jnp.float32).reshape(1),
             ml.astype(jnp.float32).reshape(4),
             cov.astype(jnp.float32).reshape(16),
-            smask.astype(jnp.float32).reshape(-1),
+            state.smask.astype(jnp.float32).reshape(-1),
         ]
     )
+
+
+@jax.jit
+def _pack_host_snapshot(state):
+    return _snapshot_vec(state)
 
 
 class ParticleFilter:
@@ -1228,6 +1238,7 @@ class ParticleFilter:
                 region=region,
                 window_w=window_w,
                 mip=mip,
+                with_snapshot=True,
             )
         return self._fast_fns[key]
 
@@ -1456,18 +1467,30 @@ class ParticleFilter:
             scan, res_j, motion_j,
         )
 
+    def _device_consts(self):
+        """(map_size_scaled, stencil) as device arrays, cached per map
+        version: per-step re-uploads are host->device RPCs on the axon
+        backend."""
+        key = self._map_version
+        cached = getattr(self, "_device_consts_cache", None)
+        if cached is None or cached[0] != key:
+            g = self.map.grid
+            mss = (
+                jnp.asarray([g.width, g.height], dtype=jnp.float32)
+                * self.map.resolution
+            )
+            cached = (key, mss, jnp.asarray(self.map.stencil))
+            self._device_consts_cache = cached
+        return cached[1], cached[2]
+
     def update(self, scan, res) -> None:
         """scan: (C, Theta, R) polar semantic render; res: range m/bin."""
         if self.state is None or self.n_active_host() == 0:
             return
         g = self.map.grid
-        map_size_scaled = (
-            jnp.asarray([g.width, g.height], dtype=jnp.float32)
-            * self.map.resolution
-        )
+        map_size_scaled, stencil = self._device_consts()
         scan = jnp.asarray(scan, dtype=jnp.float32)
         res_j = jnp.asarray(res, dtype=jnp.float32)
-        stencil = jnp.asarray(self.map.stencil)
         if self.mesh is not None:
             self._update_sharded(scan, res_j, map_size_scaled, stencil)
             self._all_have_init = True
@@ -1497,7 +1520,7 @@ class ParticleFilter:
             else:
                 self._apply_pending_motion()
                 motion = None
-            self.state = self._get_fast_fn(
+            out = self._get_fast_fn(
                 mode, mo, path, region, ww, mip
             )(
                 self.state,
@@ -1510,6 +1533,15 @@ class ParticleFilter:
                 s0=s0,
                 motion=motion,
             )
+            snap_vec = None
+            if isinstance(out, tuple):  # fused step: snapshot rides it
+                out, snap_vec = out
+            self.state = out
+            self._all_have_init = True
+            self._last_omega = 0.0
+            self._last_dist_m = 0.0
+            self._prefetch_dispatch_state(snap_vec)
+            return
         else:
             self._apply_pending_motion()
             self.state = self._update_fn(
@@ -1521,19 +1553,21 @@ class ParticleFilter:
         self._last_dist_m = 0.0
         self._prefetch_dispatch_state()
 
-    def _prefetch_dispatch_state(self) -> None:
+    def _prefetch_dispatch_state(self, snap_vec=None) -> None:
         """Dispatch + async-prefetch ONE packed vector holding every
         tiny value the next step's dispatch and the node's publish read
         (bbox, n_active, ml, cov, smask).  On the axon backend each
         eager device read is its own ~10-20 ms RPC round trip - five
         separate reads per scan made the node loop ~5x slower than its
-        device step.  One fused pack dispatch + one transfer per step;
-        consumers go through _host_snapshot (one blocking wait, then a
-        host-cache read)."""
+        device step.  One fused pack dispatch + one transfer per step
+        (the fused conv step returns the vector from its own dispatch,
+        passed in as snap_vec); consumers go through _host_snapshot
+        (one blocking wait, then a host-cache read)."""
         st = self.state
         try:
-            vec = _pack_host_snapshot(
-                st.particles, st.n_active, st.bbox, st.smask
+            vec = (
+                snap_vec if snap_vec is not None
+                else _pack_host_snapshot(st)
             )
             vec.copy_to_host_async()
             self._snap_pending = [st, vec, None]
@@ -1553,9 +1587,7 @@ class ParticleFilter:
                 pend[2] = np.asarray(pend[1])
             return pend[2]
         st = self.state
-        vec = _pack_host_snapshot(
-            st.particles, st.n_active, st.bbox, st.smask
-        )
+        vec = _pack_host_snapshot(st)
         out = np.asarray(vec)
         self._snap_pending = [st, vec, out]
         return out
