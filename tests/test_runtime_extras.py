@@ -153,6 +153,90 @@ def test_grid_map_payload_end_to_end():
     assert node.filter._map_version == ver
 
 
+def test_async_publish_uses_completed_snapshot():
+    """RuntimeParams.async_publish: the publish path consumes the
+    freshest COMPLETED filter snapshot without blocking on the
+    in-flight step; pre-first-update publishes no-op instead of
+    crashing, and after an update the published pose matches the
+    blocking path's values."""
+    from top_down_renderer_tpu.config import (
+        ClassConfig,
+        MapConfig,
+        RuntimeParams,
+    )
+    from top_down_renderer_tpu.runtime.node import TopDownRenderNode
+
+    color_lut = np.full((256, 3), 255, np.uint8)
+    cc = ClassConfig(
+        color_lut=color_lut,
+        class_to_flattened=[0, 1, 2],
+        flattened_to_class=[0, 1, 2],
+        exclusivity=[True] * 3,
+        loc_weight=[1.0] * 3,
+    )
+
+    def make(async_publish):
+        node = TopDownRenderNode(
+            cc, MapConfig(dynamic=True, resolution=1.0),
+            RuntimeParams(
+                particle_count=64, async_publish=async_publish
+            ),
+            filter_overrides={"fixed_scale": 1.0},
+        )
+        rows = cols = 96
+        mat = np.zeros((rows, cols), np.float32)
+        mat[:, 40:48] = 1.0
+        node.aerial_map_grid_callback({
+            "stamp": 1.0, "layers": ["semantics"],
+            "data": {"semantics": mat},
+            "pose_x": 0.0, "pose_y": 0.0,
+            "length_x": float(cols), "length_y": float(rows),
+        })
+        return node
+
+    node_a = make(True)
+    node_a.publish_pose_est(0.0)  # nothing completed yet: no-op
+
+    rng = np.random.default_rng(21)
+    scan = rng.random((3, 100, 25)).astype(np.float32)
+
+    node_b = make(False)
+    pf_a, pf_b = node_a.filter, node_b.filter
+    pre = pf_a.publish_stats(block=True)  # completes a pre-update snap
+    pf_b.publish_stats(block=True)
+    for pf in (pf_a, pf_b):
+        pf.update(scan, 1.0)
+    post = pf_b.publish_stats(block=True)  # blocking: THIS step's stats
+
+    # async: the freshest COMPLETED snapshot - either the pre-update
+    # one (transfer still in flight) or the post-update one, never
+    # anything else, and never a block
+    got = pf_a.publish_stats(block=False)
+    assert got is not None
+    assert any(
+        np.allclose(got[0], ref[0], rtol=1e-6)
+        for ref in (pre, post)
+    ), (got[0], pre[0], post[0])
+
+    # once the transfer lands, async == blocking for the same step
+    pf_a._host_snapshot()
+    got2 = pf_a.publish_stats(block=False)
+    np.testing.assert_allclose(got2[0], post[0], rtol=1e-6)
+    np.testing.assert_allclose(got2[1], post[1], rtol=1e-6)
+
+    # the node publishes through the async path without blocking
+    node_a.is_converged = True
+    poses = []
+    node_a.on("pose_est", poses.append)
+    node_a.publish_pose_est(2.0)
+    assert poses
+    np.testing.assert_allclose(
+        poses[0].position[0],
+        float(post[0][0] - node_a.map_center[0]),
+        rtol=1e-6,
+    )
+
+
 def test_node_visualize_analog():
     from top_down_renderer_tpu.config import (
         ClassConfig,

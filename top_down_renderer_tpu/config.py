@@ -235,6 +235,12 @@ class RuntimeParams:
     # (parallel/sharding.py; 0 = single-chip).  The reference's analog
     # is its TBB thread pool (particle_filter.cpp:104-105)
     mesh_devices: int = 0
+    # publish pose from the freshest COMPLETED filter step (<= one scan
+    # stale) instead of blocking on the in-flight step's device round
+    # trip (~25 ms on the remote axon backend) - the low-latency
+    # serving mode.  Default off: the published pose reflects the scan
+    # it is stamped with (what the accuracy benchmarks measure).
+    async_publish: bool = False
 
 
 def ang_res(theta_bins: int = 100) -> float:

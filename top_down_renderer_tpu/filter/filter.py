@@ -243,10 +243,11 @@ def _pad_class_weights(params, grid_num_classes):
 
 def make_tail_fn(
     params: FilterParams, n_max: int, k_max: int, gmm_every: int,
-    theta_bins: int = 100,
+    theta_bins: int = 100, with_snapshot: bool = False,
 ):
     """Jitted post-scoring tail, shared by every scoring mode (keeps the
-    per-mode compile small)."""
+    per-mode compile small).  with_snapshot also returns the packed
+    host-snapshot vector from the same dispatch (see _snapshot_vec)."""
 
     @jax.jit
     def tail(
@@ -254,15 +255,18 @@ def make_tail_fn(
         cost: jnp.ndarray,
         new_theta: jnp.ndarray,
         map_size_scaled: jnp.ndarray,
-    ) -> FilterState:
+    ):
         p = state.particles.replace(
             theta=new_theta,
             have_init=jnp.ones_like(state.particles.have_init),
         )
         w_raw = weight_from_cost(cost, p, params, map_size_scaled)
-        return update_tail(
+        out = update_tail(
             state, p, w_raw, n_max, k_max, gmm_every, theta_bins
         )
+        if with_snapshot:
+            return out, _snapshot_vec(out)
+        return out
 
     return tail
 
@@ -945,21 +949,34 @@ class ParticleFilter:
         return np.zeros(5, np.float32)
 
     def _apply_pending_motion(self) -> None:
-        """Host-side propagate for paths without a fused motion stage
-        (exact gather, crop scoring stage, multi-scale)."""
+        """Propagate for paths without a fused motion stage (exact
+        gather, crop scoring stage, multi-scale) - ONE jitted dispatch;
+        tracing the motion model eagerly dispatched every jnp op as its
+        own remote call on the axon backend (~16 ms/step measured in
+        the node loop's crop regime)."""
         if self._pending_motion is None:
             return
         trans, omega, dist = self._pending_motion
         self._pending_motion = None
-        key, sub = jax.random.split(self.state.key)
-        parts = particles_mod.propagate(
-            self.state.particles,
-            sub,
-            jnp.asarray(trans, dtype=jnp.float32),
-            jnp.asarray(omega, dtype=jnp.float32),
-            self.params,
-            self.state.scale_frozen,
-            dist=jnp.asarray(dist, jnp.float32),
+        if not hasattr(self, "_propagate_jit"):
+            params = self.params
+
+            @jax.jit
+            def _prop(particles, key, motion, scale_frozen):
+                k2, sub = jax.random.split(key)
+                parts = particles_mod.propagate(
+                    particles, sub, motion[:2], motion[2], params,
+                    scale_frozen, dist=motion[3],
+                )
+                return parts, k2
+
+            self._propagate_jit = _prop
+        motion = np.asarray(
+            [trans[0], trans[1], omega, dist], np.float32
+        )
+        parts, key = self._propagate_jit(
+            self.state.particles, self.state.key,
+            jnp.asarray(motion), self.state.scale_frozen,
         )
         self.state = self.state.replace(particles=parts, key=key)
 
@@ -1150,7 +1167,7 @@ class ParticleFilter:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
                     self.params, self.n_max, 8, self.gmm_every,
-                    self.theta_bins,
+                    self.theta_bins, with_snapshot=True,
                 )
             self._fast_fns[key] = make_update_step_multiscale(
                 self.params,
@@ -1222,7 +1239,7 @@ class ParticleFilter:
             if not hasattr(self, "_tail_fn"):
                 self._tail_fn = make_tail_fn(
                     self.params, self.n_max, 8, self.gmm_every,
-                    self.theta_bins,
+                    self.theta_bins, with_snapshot=True,
                 )
             self._fast_fns[key] = make_update_step_fast(
                 self.params,
@@ -1502,7 +1519,7 @@ class ParticleFilter:
         if fast is not None and fast[3] == "multi":
             mode, mo_m, _, _, slots, levels, bmi, kp = fast
             self._apply_pending_motion()
-            self.state = self._get_multi_fn(mode, kp, bmi, mo_m)(
+            out = self._get_multi_fn(mode, kp, bmi, mo_m)(
                 self.state,
                 self._get_pyramid_maps(levels),
                 map_size_scaled,
@@ -1533,25 +1550,21 @@ class ParticleFilter:
                 s0=s0,
                 motion=motion,
             )
-            snap_vec = None
-            if isinstance(out, tuple):  # fused step: snapshot rides it
-                out, snap_vec = out
-            self.state = out
-            self._all_have_init = True
-            self._last_omega = 0.0
-            self._last_dist_m = 0.0
-            self._prefetch_dispatch_state(snap_vec)
-            return
         else:
             self._apply_pending_motion()
-            self.state = self._update_fn(
+            out = self._update_fn(
                 self.state, g.dist, map_size_scaled, stencil, scan, res_j
             )
+        # fast steps return the host snapshot from their own dispatch
+        snap_vec = None
+        if isinstance(out, tuple):
+            out, snap_vec = out
+        self.state = out
         # every scoring path sets have_init=True for all particles
         self._all_have_init = True
         self._last_omega = 0.0
         self._last_dist_m = 0.0
-        self._prefetch_dispatch_state()
+        self._prefetch_dispatch_state(snap_vec)
 
     def _prefetch_dispatch_state(self, snap_vec=None) -> None:
         """Dispatch + async-prefetch ONE packed vector holding every
@@ -1585,12 +1598,63 @@ class ParticleFilter:
         if pend is not None and pend[0] is self.state:
             if pend[2] is None:
                 pend[2] = np.asarray(pend[1])
+                self._snap_last_host = pend[2]
             return pend[2]
         st = self.state
         vec = _pack_host_snapshot(st)
         out = np.asarray(vec)
         self._snap_pending = [st, vec, out]
+        self._snap_last_host = out
         return out
+
+    def _host_snapshot_nowait(self):
+        """The freshest COMPLETED snapshot without blocking: the
+        in-flight step's vector if its transfer already landed, else
+        the previous step's host copy (None before the first fetch).
+        Consumers accept one step of staleness in exchange for not
+        paying the ~25 ms axon execute+fetch round trip."""
+        pend = getattr(self, "_snap_pending", None)
+        if pend is not None and pend[0] is self.state:
+            if pend[2] is not None:
+                return pend[2]
+            try:
+                ready = pend[1].is_ready()
+            except AttributeError:
+                ready = True
+            if ready:
+                pend[2] = np.asarray(pend[1])
+                self._snap_last_host = pend[2]
+                return pend[2]
+        return getattr(self, "_snap_last_host", None)
+
+    def pose_stats_nowait(self):
+        """(ml, cov) from the freshest completed snapshot, or None if
+        nothing has completed yet (see _host_snapshot_nowait)."""
+        snap = self._host_snapshot_nowait()
+        if snap is None:
+            return None
+        return (
+            snap[_SNAP_ML].astype(np.float64),
+            snap[_SNAP_COV].reshape(4, 4).astype(np.float64),
+        )
+
+    def publish_stats(self, block: bool = True):
+        """(ml, cov, n_active) for the node's publish path from ONE
+        snapshot read.  block=False returns the freshest COMPLETED
+        snapshot (<= one step stale) instead of waiting ~25 ms for the
+        in-flight step's execute+fetch round trip; None if nothing has
+        completed yet."""
+        snap = (
+            self._host_snapshot() if block
+            else self._host_snapshot_nowait()
+        )
+        if snap is None:
+            return None
+        return (
+            snap[_SNAP_ML].astype(np.float64),
+            snap[_SNAP_COV].reshape(4, 4).astype(np.float64),
+            int(snap[_SNAP_NACT]),
+        )
 
     def n_active_host(self) -> int:
         return int(self._host_snapshot()[_SNAP_NACT])

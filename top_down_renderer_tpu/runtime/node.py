@@ -411,8 +411,17 @@ class TopDownRenderNode:
     def publish_pose_est(self, stamp: float) -> None:
         if self.filter.state is None:
             return
-        # one fused device dispatch + transfer for the per-publish pair
-        ml, cov = self.filter.pose_stats()
+        # one snapshot read for the whole publish path.  async_publish
+        # consumes the freshest COMPLETED step (<= one scan stale)
+        # instead of blocking ~25 ms on the in-flight step's
+        # execute+fetch round trip - the low-latency serving mode; the
+        # default blocks so the published pose reflects THIS scan.
+        stats = self.filter.publish_stats(
+            block=not self.rt.async_publish
+        )
+        if stats is None:
+            return
+        ml, cov, n_active = stats
         scale = self.filter.scale()
         scale_2 = scale * scale if scale > 0 else 1.0
 
@@ -426,7 +435,7 @@ class TopDownRenderNode:
         elif self.current_range_scale > self.rt.range_scale_min:
             self.current_range_scale -= 0.02
 
-        if self.filter.num_particles() < 1:
+        if n_active < 1:
             return
 
         # scale freeze trigger (:356-360)
