@@ -35,6 +35,10 @@ def main():
     n = int(os.environ.get("BENCH_N", 20480))
     make_node, _meta = make_node_factory(data, n)
     node = make_node(0)
+    # TDR_ASYNC_PUBLISH=1: the low-latency serving mode (publish the
+    # freshest completed snapshot instead of blocking on this scan's)
+    if int(os.environ.get("TDR_ASYNC_PUBLISH", "0")):
+        node.rt.async_publish = True
 
     stats = {"render": [], "filter": [], "publish": [], "total": []}
     orig_publish = node.publish_pose_est
