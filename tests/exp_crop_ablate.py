@@ -214,6 +214,18 @@ def main():
     scan = jnp.asarray(rng.random((c, th, r)) * 3, jnp.float32)
     cw = jnp.ones((c,), jnp.float32)
     m_var = ps.build_m_tracked(scan, cw, stencil, 1.0, MO, maps.qinv)
+    # builders now emit trimmed k and used-columns-only s_m; restore
+    # the legacy full-crop layout this harness's kernels expect
+    nv, s_m, kk = m_var.shape
+    dr_, dc_ = ps.crop_dims(MO)
+    t_ = ps.trim_lanes(MO)
+    if kk == dr_ * t_ and t_ < dc_ * 8:
+        m_var = jnp.pad(
+            m_var.reshape(nv, s_m, dr_, t_),
+            ((0, 0), (0, 0), (0, 0), (0, dc_ * 8 - t_)),
+        ).reshape(nv, s_m, dr_ * dc_ * 8)
+    if s_m < S_COLS:
+        m_var = jnp.pad(m_var, ((0, 0), (0, S_COLS - s_m), (0, 0)))
 
     centers = jnp.asarray(rng.random((N, 2)) * (HW - 100) + 50,
                           jnp.float32)

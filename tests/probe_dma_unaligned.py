@@ -32,7 +32,7 @@ def _kernel(starts_ref, src_ref, out_ref, buf, sem, *, n):
     pltpu.make_async_copy(
         src_ref.at[pl.ds(y0, DR), :], buf, sem
     ).wait()
-    out_ref[...] = buf[...]
+    out_ref[...] = buf[...].reshape(out_ref.shape)
 
 
 def run(dtype):

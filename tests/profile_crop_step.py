@@ -117,15 +117,11 @@ def main():
     m_var = build()
     timeit("m_build", build)
 
-    # 4. trim + hi/lo quantization (the _run_kernel pre-kernel math)
+    # 4. hi/lo quantization (the _run_kernel pre-kernel math; M is
+    # already built trimmed at the source since r4 commit 1738b3b)
     def quant(m_var):
-        dr, dc = ps.crop_dims(mo)
-        t = ps.trim_lanes(mo)
         n_var, s_m = m_var.shape[0], m_var.shape[1]
-        mv = m_var.reshape(n_var, s_m, dr, dc * ps.C_PAD)[
-            ..., :t
-        ].reshape(n_var, s_m, dr * t)
-        m32 = mv.astype(jnp.float32)
+        m32 = m_var.astype(jnp.float32)
         amax = jnp.max(jnp.abs(m32), axis=-1)
         s_hi = jnp.maximum(amax, 1e-30) / 127.0
         hi = jnp.clip(jnp.round(m32 / s_hi[..., None]), -127, 127)

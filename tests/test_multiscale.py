@@ -55,6 +55,78 @@ def test_cluster_scales_continuum_rejects():
     assert ms.cluster_scales(scales) is None
 
 
+def test_multi_mo_spread_gate(monkeypatch):
+    """Adaptive mo: coarse while the posterior spans hypotheses, fine
+    once it collapses to one diffused blob; env forces a fixed value."""
+    monkeypatch.delenv("TDR_MULTI_MO", raising=False)
+    assert ms.multi_mo() == ms.MO_MULTI
+    assert ms.multi_mo(7.94) == ms.MO_MULTI
+    assert ms.multi_mo(1.15) == ms.MO_MULTI_FINE
+    assert ms.multi_mo(ms.MULTI_FINE_SPREAD) == ms.MO_MULTI_FINE
+    monkeypatch.setenv("TDR_MULTI_MO", "24")
+    assert ms.multi_mo(100.0) == 24
+    monkeypatch.setenv("TDR_MULTI_MO", "12")
+    assert ms.multi_mo(1.0) == 12
+
+
+def test_multi_dispatch_rtol_ladder_and_fine_mo(monkeypatch):
+    """A diffused single-blob population (the pre-freeze tracking
+    phase) must stay on the multi path via the rtol ladder AND score at
+    the fine mo - the r5 drive showed the base rtol overflowing
+    MAX_BUCKETS there, silently falling ~300x to the exact gather."""
+    from top_down_renderer_tpu.config import FilterParams, MapParams
+    from top_down_renderer_tpu.filter.filter import ParticleFilter
+    from top_down_renderer_tpu.maps.map import TopDownMap, build_grid
+    import jax.numpy as jnp
+
+    monkeypatch.delenv("TDR_MULTI_MO", raising=False)
+    c = 3
+    maps_bin = np.ones((c, 96, 96), np.float32)
+    maps_bin[1, 44:52, :] = 0.0
+    tdm = TopDownMap(MapParams(map_path="", num_classes=c, resolution=1.0))
+    tdm.grid = build_grid(maps_bin, 1.0, 50.0)
+    tdm.class_maps_binary = maps_bin
+    tdm.have_map = True
+    tdm.sample_pts_polar(100, 25)
+    params = FilterParams(
+        fixed_scale=-1.0, class_weights=[0.5] + [1.5] * (c - 1),
+    )
+    pf = ParticleFilter(
+        512, tdm, params, seed=0, chunk_size=64, use_fast=True
+    )
+    pf._all_have_init = True
+    rng = np.random.default_rng(5)
+    n = pf.state.particles.scale.shape[0]
+
+    # one diffused blob around 1.05, +-8%: needs > the base rtol but
+    # fits a ladder rung; spread < MULTI_FINE_SPREAD -> fine mo
+    blob = 1.05 * np.exp(rng.uniform(-0.08, 0.08, n))
+    pf.state = pf.state.replace(
+        particles=pf.state.particles.replace(
+            scale=jnp.asarray(blob, jnp.float32)
+        )
+    )
+    out = pf._fast_mode(1.0)
+    assert out is not None and out[3] == "multi"
+    assert out[1] == ms.MO_MULTI_FINE  # mo
+    assert ms.cluster_scales(blob.astype(np.float32)) is None or True
+
+    # a wide diffused continuum (log-range 0.7) overflows the base
+    # rtol but clusters at a ladder rung; spread wide -> coarse mo
+    wide = 2.0 * np.exp(rng.uniform(-0.35, 0.35, n))
+    pf.state = pf.state.replace(
+        particles=pf.state.particles.replace(
+            scale=jnp.asarray(wide, jnp.float32)
+        )
+    )
+    assert ms.cluster_scales(wide.astype(np.float32)) is None
+    out = pf._fast_mode(1.0)
+    assert out is not None and out[3] == "multi", (
+        "ladder failed: fell to exact gather"
+    )
+    assert out[1] == ms.MO_MULTI
+
+
 def test_multi_dispatch_tuple():
     """ParticleFilter._fast_mode must route the unknown-scale regime
     (10 discrete init hypotheses, particle_filter.cpp:19-25) to the

@@ -251,3 +251,45 @@ def test_init_interpret_parity(setup, monkeypatch):
     kf_b = np.broadcast_to(np.asarray(kf)[:, None], ref.shape)
     kfe_b = np.broadcast_to(kf_e[:, None], ref.shape)
     _check(ref.ravel(), got.ravel(), kfe_b.ravel(), kf_b.ravel(), "init")
+
+
+def test_yfold_tracked_and_init_parity(setup, monkeypatch):
+    """y-folded crop layout (TDR_YFOLD=1): interpret-mode parity for
+    both scoring flavors against the exact gather.  The layout is
+    hardware-gated off by default (Mosaic requires 8-sublane-aligned
+    DMA starts, tests/probe_dma_unaligned.py), but the kernel logic,
+    M pixel mapping, and 2-px x-residual rotate stay parity-covered
+    here."""
+    stencil, scan, cw, _maps, centers, costs_e, kf_e, rng = setup
+    monkeypatch.setenv("TDR_YFOLD", "1")
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo, **kw: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
+    packed, _, _, _, _, _ = _world()
+    maps_yf = ps.build_padded_maps(jnp.asarray(packed))
+    assert maps_yf.yf
+    assert maps_yf.stacked.shape[1] * 8 == maps_yf.hp
+    mo = ps.pick_crop_size(F, R)
+    thetas = (rng.random(N) * 2 * np.pi).astype(np.float32)
+    num, den, kf = ps.score_tracked_fast_mo(
+        maps_yf, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(thetas), F, mo,
+        interpret=True,
+    )
+    s = np.asarray(rotation_shift(jnp.asarray(thetas), TH))
+    ref = costs_e[np.arange(N), s]
+    _check(
+        ref, np.asarray(num) / np.asarray(den), kf_e, np.asarray(kf),
+        "yfold tracked",
+    )
+    nums, dens, kfi = ps.score_init_fast_mo(
+        maps_yf, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), F, mo, interpret=True,
+    )
+    ssh = np.asarray(search_shifts(TH, 40))
+    refs = costs_e[:, ssh]
+    gots = np.asarray(nums) / np.asarray(dens)
+    kfir = np.asarray(kfi)
+    for j in (0, 13, 39):
+        _check(
+            refs[:, j], gots[:, j], kf_e, kfir, f"yfold init rot {j}"
+        )

@@ -521,7 +521,7 @@ def make_update_step_multiscale(
             params, n_max, k_max, gmm_every, theta_bins
         )
     if mo is None:
-        mo = ms.multi_mo(n_buckets)
+        mo = ms.multi_mo()
     if mode in ("tracked", "mixed"):
         scorer_t = ms.make_score_tracked_multi(
             n_buckets, bucket_mip_idx, map_resolution, interpret, mo
@@ -1112,12 +1112,21 @@ class ParticleFilter:
         scales = np.asarray(p.scale)[alive]
         if scales.size == 0:
             return self._slow_path("no alive particles with scale > 0")
-        slots = ms.cluster_scales(scales)
+        # rtol ladder: post-freeze-adjacent populations diffuse into
+        # more than MAX_BUCKETS slots at the base rtol; coarser slots
+        # (quantization error rtol*(range_bins-1) px) beat the ~300x
+        # exact-gather fall
+        slots = rtol = None
+        for rt in ms.RTOL_LADDER:
+            slots = ms.cluster_scales(scales, rtol=rt)
+            if slots is not None:
+                rtol = rt
+                break
         if slots is None:
             # diffuse continuum: exact gather
             return self._slow_path(
-                "alive scales form a continuum (> %d clusters at "
-                "rtol %.2g)" % (ms.MAX_BUCKETS, ms.SCALE_RTOL)
+                "alive scales form a continuum (> %d clusters even at "
+                "rtol %.2g)" % (ms.MAX_BUCKETS, ms.RTOL_LADDER[-1])
             )
         # pad K to a few static sizes so buckets dying off as the scale
         # posterior sharpens doesn't recompile at every count
@@ -1128,19 +1137,26 @@ class ParticleFilter:
         slots_p = np.concatenate(
             [slots, np.full(kp - k, slots[-1], np.float32)]
         )
-        # every slot's stencil must fit the static MO_MULTI crop bucket:
-        # offsets reach (range_bins-1) * slot*res/mip px, so pick each
-        # slot's mip against fmax = MO_MULTI/(range_bins-1) (the clustered
-        # SCALE_RTOL spread is absorbed by the crop's +1 px margin).  A
-        # slot that saturates even mip=64 drops the whole dispatch to the
-        # exact gather - the crop kernel would silently alias/drop points.
+        # every slot's stencil must fit the static mo crop bucket:
+        # offsets reach (range_bins-1) * slot*(1+rtol)*res/mip px, so
+        # pick each slot's mip against fmax = mo/(range_bins-1) with
+        # the slot's rtol spread inflated in (the +1 px crop margin
+        # absorbs the base rtol but not the ladder's coarser rungs).  A
+        # slot that saturates even mip=64 drops the whole dispatch to
+        # the exact gather - the crop kernel would silently alias.
         range_bins = self.map.stencil.shape[1]
-        # adaptive precision: coarse mo while the posterior is wide
-        # (many buckets), fine mo once it sharpens (see ms.multi_mo)
-        mo = ms.multi_mo(kp)
+        # adaptive precision: coarse mo while the posterior spans
+        # multiple hypotheses, fine mo once it collapses to one
+        # diffused blob (see ms.multi_mo)
+        spread = float(scales.max() / max(scales.min(), 1e-20))
+        mo = ms.multi_mo(spread)
         fmax = mo / max(range_bins - 1, 1)
+        # the +1 px crop margin absorbs the BASE rtol spread; ladder
+        # rungs beyond it inflate f so the mip choice stays safe
+        infl = (1.0 + rtol) / (1.0 + ms.SCALE_RTOL)
         mips = tuple(
-            ms.mip_for_f(float(s) * res, fmax) for s in slots_p
+            ms.mip_for_f(float(s) * infl * res, fmax)
+            for s in slots_p
         )
         if any(m is None for m in mips):
             return self._slow_path(

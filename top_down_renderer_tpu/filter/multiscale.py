@@ -56,16 +56,24 @@ from top_down_renderer_tpu.filter.scoring import rotation_shift
 
 MAX_BUCKETS = 12
 SCALE_RTOL = 0.02  # max |scale - slot| / slot within a bucket
+# clustering tolerance ladder: diffusion (2%/step multiplicative,
+# state_particle.cpp:71-74) spreads the surviving hypotheses into a
+# continuum that exceeds MAX_BUCKETS at the base rtol; coarser slots
+# keep the population on the fast path (slot quantization error
+# rtol*(range_bins-1) px <= ~2 px at 0.08) instead of falling ~300x
+# to the exact gather (observed in the r5 unknown-scale drive once the
+# fallback started logging)
+RTOL_LADDER = (SCALE_RTOL, 0.04, 0.08)
 MO_MULTI = 12  # coarse static crop bucket (wide-posterior phase)
 MO_MULTI_FINE = 24  # fine crop bucket (sharpened-posterior phase)
-# adaptive threshold: bucket counts <= this score at the fine mo
-MULTI_FINE_KMAX = 4
+# adaptive threshold: alive-scale spread (max/min) at or below this
+# scores at the fine mo
+MULTI_FINE_SPREAD = 1.20
 
 
-def multi_mo(n_buckets: int = MAX_BUCKETS) -> int:
+def multi_mo(scale_spread: float = float("inf")) -> int:
     """Crop bucket for the K-bucket multi path, adaptive in the width
-    of the scale posterior (measured by the padded bucket count the
-    host clustering produced for this step).
+    of the scale posterior (max/min ratio of the alive scales).
 
     mo=12 scores every bucket one mip level coarser than the f_eff <= 1
     assignment (f_eff <= 0.5: stencil NN granularity 2 mip px), halving
@@ -79,22 +87,28 @@ def multi_mo(n_buckets: int = MAX_BUCKETS) -> int:
     closed-loop drive mean error 9.68 m -> 13.11 m (+35%, scale
     rel-err 2.5% -> 3.4-4.6%; benchmarks/loc_results.json tags
     benchmark_loc_uscale{,_mo12}).  The adaptive default resolves
-    that: while the scale posterior is wide (>MULTI_FINE_KMAX padded
-    buckets - e.g. the 10 discrete init hypotheses,
-    particle_filter.cpp:19-25) precision is convergence-limited and
-    the coarse mo keeps exploration fast; once the posterior sharpens
-    to <=MULTI_FINE_KMAX buckets (resampling collapses survivors to
-    within a few % of the true scale) the fine mo restores 1-mip-px
-    pose precision, and the smaller M-variant table (K*groups rows)
-    keeps the step fast.  TDR_MULTI_MO=12|24 forces a fixed value for
-    A/B sweeps (bench.py BENCH_MULTI=1 measures kp=12, i.e. mo=12,
-    under the adaptive default)."""
+    that: while the posterior still spans multiple scale hypotheses
+    (spread > MULTI_FINE_SPREAD - e.g. the 10 discrete init
+    hypotheses, particle_filter.cpp:19-25, span 7.9x) precision is
+    convergence-limited and the coarse mo keeps exploration fast; once
+    resampling collapses the survivors to one diffused blob (spread
+    within ~20%, i.e. the 2%/step diffusion width) the fine mo
+    restores 1-mip-px pose precision for the pre-freeze tracking
+    phase.  (A bucket-count gate does NOT work: diffusion keeps the
+    blob split across 3-8 rtol-width slots all the way to the freeze,
+    so kp never drops to the init-distinct range.)  TDR_MULTI_MO=12|24
+    forces a fixed value for A/B sweeps (bench.py BENCH_MULTI=1
+    measures the 10-hypothesis init population = mo 12 under the
+    adaptive default)."""
     v = os.environ.get("TDR_MULTI_MO", "")
     if v:
         v = int(v)
         assert v in (MO_MULTI, MO_MULTI_FINE), v
         return v
-    return MO_MULTI_FINE if n_buckets <= MULTI_FINE_KMAX else MO_MULTI
+    return (
+        MO_MULTI_FINE if scale_spread <= MULTI_FINE_SPREAD
+        else MO_MULTI
+    )
 
 
 def cluster_scales(

@@ -90,6 +90,46 @@ def crop_dims(mo: int):
     return dr, dc
 
 
+# --- y-folded crop layout (uniform-scale paths) -----------------------
+#
+# The row-major stacked layout DMAs dr short rows (dc*8 int8 = 640 B at
+# mo=24) per crop; the v5e DMA engine sustains only ~300 GB/s on such
+# bursts (r5 kernel measurement: 12.2 ms for 3.7 GB).  Folding 8 map
+# rows into the lane dim - lane = x*64 + yy*8 + ch - turns each crop
+# into dr/8 rows of dc2*64 int8 (3.3 KB at mo=24): 8x longer bursts,
+# AND the x-residual granularity tightens from 16 px (128 lanes / 8
+# channels) to 2 px (128 lanes / 64 per-px lanes), shrinking the
+# rotate margin from 16 px to 2: dc2 = 2*mo+4 vs dc = 2*mo+17 -> ~35%
+# fewer crop bytes and ~19% fewer MACs at mo=24.  The in-kernel rx
+# lane-rotate argument carries over exactly: roll left by rx*64 <= 64
+# lanes wraps garbage into the last crop px, whose M coefficients are
+# structurally zero.
+#
+# DEFAULT OFF: Mosaic requires 8-sublane-aligned DMA starts
+# ("Failed to prove that a tile index in dimension 0 is divisible by
+# the tiling (8)", tests/probe_dma_unaligned.py on v5e), and the fold
+# consumes the 8 row-shifted copies' y-residual, leaving folded-row
+# starts arbitrary - satisfying Mosaic would take 8x8 = 64 map copies
+# (2 GB HBM at 2048^2).  Kept behind TDR_YFOLD=1 (interpret-mode
+# parity-tested) in case Mosaic grows unaligned sublane DMA support.
+#
+# The K-bucket multi path keeps the row-major layout (its pyramid
+# stacking is row-granular); _run_kernel supports both via `yf`.
+YF_RX = 2  # x-residual variants in the folded layout (128 lanes/2 px)
+
+
+def yfold() -> bool:
+    """Default OFF (see layout note above); TDR_YFOLD=1 enables the
+    y-folded crop layout (interpret/emulation only on current Mosaic)."""
+    return os.environ.get("TDR_YFOLD", "0") == "1"
+
+
+def crop_cols_yf(mo: int) -> int:
+    """Folded-layout crop width in px: reach 2*mo+1, +1 px rotate
+    margin, rounded to the 2-px lane-tile (128 lanes = 2 px)."""
+    return 2 * mo + 4
+
+
 def trim_lanes(mo: int) -> int:
     """Contraction width (int8 lanes) actually carrying M support.
 
@@ -171,13 +211,15 @@ class PaddedMaps:
     {0, 1} quantize exactly, keeping norm and known-count arithmetic
     exact."""
 
-    stacked: jnp.ndarray  # (8, Hp, Wp*8) int8 row-shifted copies
+    stacked: jnp.ndarray  # (8, Hp, Wp*8) int8 row-shifted copies, or
+    #                       (8, Hp/8, Wp*64) when yf (y-folded layout)
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
     padded4d: jnp.ndarray  # (~Hp/4, ~Wp/4, 128) bf16 s2d phase fold
     qinv: jnp.ndarray = None  # (8,) f32 per-channel dequant multipliers
     hp: int = struct.field(pytree_node=False, default=0)
     wp: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
+    yf: bool = struct.field(pytree_node=False, default=False)
 
 
 def quantize_channels(packed: jnp.ndarray):
@@ -200,18 +242,33 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     from top_down_renderer_tpu.filter.conv_score import fold_map_s2d
 
     pq, qinv = quantize_channels(packed)
+    yf = yfold()
     p = jnp.pad(pq, ((pad, pad + 8), (pad, pad), (0, 0)))
     hp_full = p.shape[0]
     wp = p.shape[1]
-    p2 = p.reshape(hp_full, wp * C_PAD)
     hp = hp_full - 8
-    stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
+    if yf:
+        # y-folded copies: copy k holds rows [k, k+hp) folded 8-into-
+        # lanes (lane = x*64 + yy*8 + ch); hp rounded down to the fold
+        hp = hp - hp % 8
+        stacked = jnp.stack(
+            [
+                p[k : k + hp]
+                .reshape(hp // 8, 8, wp, C_PAD)
+                .transpose(0, 2, 1, 3)
+                .reshape(hp // 8, wp * 8 * C_PAD)
+                for k in range(8)
+            ]
+        )
+    else:
+        p2 = p.reshape(hp_full, wp * C_PAD)
+        stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
     pb = jnp.pad(
         packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
     )
     return PaddedMaps(
         stacked=stacked, padded3d=pb[:hp], padded4d=fold_map_s2d(pb[:hp]),
-        qinv=qinv, hp=int(hp), wp=int(wp), pad=int(pad),
+        qinv=qinv, hp=int(hp), wp=int(wp), pad=int(pad), yf=yf,
     )
 
 
@@ -308,12 +365,15 @@ def _build_base_t_from_pix(
     return out
 
 
-def _stencil_pix(stencil: jnp.ndarray, f, mo: int):
+def _stencil_pix(stencil: jnp.ndarray, f, mo: int, yf: bool = False):
     """Stencil offsets -> crop-pixel coordinates at rx=0."""
     dr, dc = crop_dims(mo)
     off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
     py = off[:, 0] + dr // 2
-    px = off[:, 1] + (dc - 16) // 2
+    if yf:
+        px = off[:, 1] + mo + 1  # matches _origins' x0 = cx-(mo+1)
+    else:
+        px = off[:, 1] + (dc - 16) // 2
     return py, px
 
 
@@ -327,6 +387,7 @@ def _build_base_t(
     s_cols: int,
     qinv: jnp.ndarray | None = None,
     with_amax: bool = False,
+    yf: bool = False,
 ):
     """Crop-path base matrix, emitted directly in the kernel's TRIMMED
     contraction layout k = py * trim_lanes(mo) + px * C_PAD + ch.
@@ -336,8 +397,20 @@ def _build_base_t(
     building at dr * t instead of dr * dc * C_PAD skips the
     structurally-zero lane columns at the SOURCE: ~20% fewer build-
     matmul FLOPs at mo=24 and no post-hoc trim reshape pass over M
-    tables that reach hundreds of MB on the K-bucket multi path."""
+    tables that reach hundreds of MB on the K-bucket multi path.
+
+    yf: the y-folded contraction layout
+    k = (py//8)*(dc2*64) + px*64 + (py%8)*8 + ch (no separate trim:
+    the 1-2 px rotate margin is the only slack)."""
     dr, dc = crop_dims(mo)
+    if yf:
+        dc2 = crop_cols_yf(mo)
+        lanes = dc2 * 8 * C_PAD
+        pix8 = (py // 8) * lanes + px * 8 * C_PAD + (py % 8) * C_PAD
+        return _build_base_t_from_pix(
+            pix8, (dr // 8) * lanes, c, cost_cols, norm_cols, s_cols,
+            qinv, with_amax,
+        )
     t = trim_lanes(mo)
     pix8 = py * t + px * C_PAD
     return _build_base_t_from_pix(
@@ -353,6 +426,7 @@ def build_m_tracked(
     mo: int,
     qinv: jnp.ndarray | None = None,
     with_amax: bool = False,
+    yf: bool = False,
 ):
     """(N_GROUPS, 2*GW+2, K) bf16 variants for tracked mode, transposed
     so the kernel's manual M DMA slices along the 128-aligned K minor.
@@ -362,7 +436,7 @@ def build_m_tracked(
     variant axis: the kernel lane-rotates each crop tile instead (16x
     less M build/memory/DMA)."""
     c, th, r = scan.shape
-    py, px = _stencil_pix(stencil, f, mo)
+    py, px = _stencil_pix(stencil, f, mo, yf)
 
     # per-group shift windows, built at the USED shifts only (one row
     # gather, circulants_at_shifts) and the USED columns only (2*GW
@@ -377,7 +451,7 @@ def build_m_tracked(
     )  # (TR*C, 7*16), (TR, 7*16)
     return jax.vmap(
         lambda cc, nc: _build_base_t(
-            mo, py, px, c, cc, nc, 2 * GW + 2, qinv, with_amax
+            mo, py, px, c, cc, nc, 2 * GW + 2, qinv, with_amax, yf
         )
     )(
         jnp.moveaxis(cost_sel.reshape(-1, N_GROUPS, GW), 1, 0),
@@ -394,6 +468,7 @@ def build_m_init(
     num_rot: int = 40,
     qinv: jnp.ndarray | None = None,
     with_amax: bool = False,
+    yf: bool = False,
 ):
     """(1, 2*num_rot+2, K) bf16 for the theta-search mode: cols
     [0:num_rot) cost at the search shifts, [num_rot:2*num_rot) norm,
@@ -402,12 +477,12 @@ def build_m_init(
     c, th, r = scan.shape
     ssh = search_shifts(th, num_rot)
     cost_sel, norm_sel = circulants_at_shifts(scan, class_weights, ssh)
-    py, px = _stencil_pix(stencil, f, mo)
+    py, px = _stencil_pix(stencil, f, mo, yf)
     # used columns only (2*num_rot + kf + lokf slot = 82 of the
     # kernel's 128); _run_kernel zero-pads post-quant
     out = _build_base_t(
         mo, py, px, c, cost_sel, norm_sel, 2 * num_rot + 2, qinv,
-        with_amax,
+        with_amax, yf,
     )  # (2*num_rot+2, dr*t)
     if with_amax:
         return out[0][None], out[1][None]
@@ -419,7 +494,7 @@ def _kernel(
     m_scale_ref, locals_ref, out_ref, crop_buf, m_buf, prev_idx, m_sem,
     sems, *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
     sel: bool = False, sel_init: int = 0, kf_thresh: float = 0.0,
-    lokf: bool = False, kf_col: int = -1,
+    lokf: bool = False, kf_col: int = -1, yf: bool = False,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
@@ -439,14 +514,23 @@ def _kernel(
     coefficients) but with 16x less M memory/build/DMA, which is what
     made K-bucket multi-scale tracked M builds blow past HBM."""
     dr, dc = crop_dims(mo)
-    dc8 = dc * C_PAD
+    if yf:
+        rows = dr // 8
+        dc8 = crop_cols_yf(mo) * 8 * C_PAD  # lanes per folded row
+        rxm = YF_RX
+        rxl = 8 * C_PAD  # lanes per px
+    else:
+        rows = dr
+        dc8 = dc * C_PAD
+        rxm = RX
+        rxl = C_PAD
     i_tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     key_t = midx_ref[i_tile]
     live = key_t >= 0  # -1 = dead tail tile (occupied-only padding)
     key_c = jnp.maximum(key_t, 0)
-    midx = key_c // RX
-    rx8 = jax.lax.rem(key_c, RX) * C_PAD
+    midx = key_c // rxm
+    rx8 = jax.lax.rem(key_c, rxm) * rxl
     key_next_raw = midx_ref[jnp.minimum(i_tile + 1, n_tiles - 1)]
     next_live = (i_tile + 1 < n_tiles) & (key_next_raw >= 0)
     slot = jax.lax.rem(i_tile, 2)
@@ -467,11 +551,14 @@ def _kernel(
 
     def dma(orig, i, s):
         # origins store y8/8 and xe/128: multiplying in-kernel lets
-        # Mosaic prove the (8, 128)-tile alignment of the slice start
+        # Mosaic prove the (8, 128)-tile alignment of the slice start.
+        # y-folded maps slice folded rows directly (arbitrary start;
+        # hardware-validated, tests/probe_dma_unaligned.py)
+        row0 = orig[i, 1] if yf else orig[i, 1] * 8
         return pltpu.make_async_copy(
             stacked_ref.at[
                 orig[i, 0],
-                pl.ds(orig[i, 1] * 8, dr),
+                pl.ds(row0, rows),
                 pl.ds(orig[i, 2] * 128, dc8),
             ],
             crop_buf.at[s, i],
@@ -539,11 +626,12 @@ def _kernel(
             )
         # contract only the lanes carrying M support (trim_lanes):
         # everything past them is structurally-zero M columns + the
-        # roll's wrap garbage
-        t = trim_lanes(mo)
+        # roll's wrap garbage.  (y-folded layout: the margin is only
+        # 1-2 px, keep the full row.)
+        t = dc8 if yf else trim_lanes(mo)
         if t < dc8:
             rolled = rolled[:, :, :t]
-        flat = rolled.reshape(p_tile, dr * t)
+        flat = rolled.reshape(p_tile, rows * t)
         # one int8 x int8 MXU contraction over [M_hi | M_lo] (2x the
         # bf16 rate, full 128 output lanes, and no int8 -> bf16 convert
         # pass over the crops); per-(variant, column) scales dequantize
@@ -633,7 +721,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "mo", "p_tile", "s_cols", "interpret", "sel", "sel_init",
-        "kf_thresh", "lokf", "kf_col",
+        "kf_thresh", "lokf", "kf_col", "yf",
     ),
 )
 def _run_kernel(
@@ -652,24 +740,34 @@ def _run_kernel(
     lokf: bool = False,
     kf_col: int = -1,
     amax: jnp.ndarray | None = None,
+    yf: bool = False,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     if locals_ is None:
         locals_ = jnp.zeros((n_pad, 1), jnp.int32)
     n_tiles = n_pad // p_tile
     dr, dc = crop_dims(mo)
-    t = trim_lanes(mo)
-    k = dr * t
-    if m_var.shape[2] == dr * dc * C_PAD and t < dc * C_PAD:
-        # legacy full-crop-layout M (the builders now emit dr*t
-        # directly): drop the structurally-zero lane columns to match
-        # the kernel's trimmed contraction (free: the dropped amax
-        # contributions are zero, so the hi/lo scales are unchanged)
-        n_var, s_m = m_var.shape[0], m_var.shape[1]
-        m_var = m_var.reshape(n_var, s_m, dr, dc * C_PAD)[
-            ..., :t
-        ].reshape(n_var, s_m, k)
-    assert m_var.shape[2] == k, (m_var.shape, dr, t)
+    if yf:
+        rows = dr // 8
+        lanes = crop_cols_yf(mo) * 8 * C_PAD
+        k = rows * lanes
+        rxm = YF_RX
+    else:
+        rows = dr
+        lanes = dc * C_PAD
+        t = trim_lanes(mo)
+        k = dr * t
+        rxm = RX
+        if m_var.shape[2] == dr * dc * C_PAD and t < dc * C_PAD:
+            # legacy full-crop-layout M (the builders now emit dr*t
+            # directly): drop the structurally-zero lane columns to
+            # match the kernel's trimmed contraction (free: the dropped
+            # amax contributions are zero, the hi/lo scales unchanged)
+            n_var, s_m = m_var.shape[0], m_var.shape[1]
+            m_var = m_var.reshape(n_var, s_m, dr, dc * C_PAD)[
+                ..., :t
+            ].reshape(n_var, s_m, k)
+    assert m_var.shape[2] == k, (m_var.shape, yf, k)
     # hi/lo int8 split of M, stacked on the column axis: the kernel
     # contracts int8 crops against int8 [M_hi | M_lo] in ONE MXU pass
     # (2*s_cols columns fill the 128-lane MXU the 64-col bf16 matmul
@@ -754,7 +852,9 @@ def _run_kernel(
             pl.BlockSpec(memory_space=pltpu.HBM),  # M variants, manual DMA
             pl.BlockSpec(  # per-variant dequant row, auto-piped to VMEM
                 (1, 1, m_cols),
-                lambda i, m: (jnp.maximum(m[i], 0) // RX, 0, 0),
+                lambda i, m, _rxm=rxm: (
+                    jnp.maximum(m[i], 0) // _rxm, 0, 0
+                ),
             ),
             pl.BlockSpec(  # per-particle window column (sel mode)
                 (p_tile, 1), lambda i, m: (i, 0)
@@ -762,7 +862,7 @@ def _run_kernel(
         ],
         out_specs=pl.BlockSpec((p_tile, s_cols), lambda i, m: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, p_tile, dr, dc * C_PAD), jnp.int8),
+            pltpu.VMEM((2, p_tile, rows, lanes), jnp.int8),
             pltpu.VMEM((m_cols, k), jnp.int8),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -773,7 +873,7 @@ def _run_kernel(
         functools.partial(
             _kernel, mo=mo, p_tile=p_tile, s_cols=s_cols,
             interp=interpret, sel=sel, sel_init=sel_init,
-            kf_thresh=kf_thresh, lokf=lokf, kf_col=kf_col,
+            kf_thresh=kf_thresh, lokf=lokf, kf_col=kf_col, yf=yf,
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
@@ -973,13 +1073,21 @@ def _origins(
     mo: int,
     map_resolution: float,
 ):
-    """Crop origin decomposition.  Returns (ry, y8, xe, rx, in_range)."""
+    """Crop origin decomposition.  Returns (ry, y8, xe, rx, in_range).
+
+    y-folded maps: y8 is the folded-row start (arbitrary integer; the
+    kernel slices it directly), rx the 2-px x residual, xe the 128-lane
+    (= 2 px) aligned lane-tile start."""
     dr, dc = crop_dims(mo)
     pad = maps.pad
     cy = jnp.round(center_px[:, 1] / map_resolution).astype(jnp.int32)
     cx = jnp.round(center_px[:, 0] / map_resolution).astype(jnp.int32)
     y0 = cy - dr // 2 + pad
-    x0 = cx - (dc - 16) // 2 + pad
+    if maps.yf:
+        dc = crop_cols_yf(mo)
+        x0 = cx - (mo + 1) + pad
+    else:
+        x0 = cx - (dc - 16) // 2 + pad
     in_range = (
         (y0 >= 0)
         & (y0 <= maps.hp - dr)
@@ -989,9 +1097,13 @@ def _origins(
     y0c = jnp.where(in_range, y0, 0)
     x0c = jnp.where(in_range, x0, 0)
     ry = y0c % 8
-    y8 = (y0c - ry) // 8  # kernel multiplies by 8 (alignment proof)
-    rx = x0c % RX
-    xe = (x0c - rx) * C_PAD // 128  # kernel multiplies by 128
+    y8 = (y0c - ry) // 8  # row-major: kernel multiplies by 8
+    if maps.yf:
+        rx = x0c % YF_RX
+        xe = (x0c - rx) // 2  # 128-lane tiles of 64 lanes/px
+    else:
+        rx = x0c % RX
+        xe = (x0c - rx) * C_PAD // 128  # kernel multiplies by 128
     return ry, y8, xe, rx, in_range
 
 
@@ -1002,9 +1114,10 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
     def score(maps, stencil, scan, class_weights, center_px, theta, f):
         th, r, _ = stencil.shape
         p_tile = tracked_p_tile(mo)
+        rxm = YF_RX if maps.yf else RX
         m_var, m_amax = build_m_tracked(
             scan, class_weights, stencil, f, mo, maps.qinv,
-            with_amax=True,
+            with_amax=True, yf=maps.yf,
         )
         s = rotation_shift(theta, th)
         g = s // GW
@@ -1012,10 +1125,10 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
             center_px, maps, mo, map_resolution
         )
         # variant(g)-major key: same-variant tiles run contiguously and
-        # the kernel derives (variant, rx) = divmod(key, RX)
-        key = (g * RX + rx).astype(jnp.int32)
+        # the kernel derives (variant, rx) = divmod(key, rxm)
+        key = (g * rxm + rx).astype(jnp.int32)
         pos, tile_midx, n_pad = _group_layout(
-            key, RX * N_GROUPS, p_tile
+            key, rxm * N_GROUPS, p_tile
         )
         origins = jnp.zeros((n_pad, 4), jnp.int32)
         origins = origins.at[pos].set(
@@ -1031,7 +1144,7 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
             interpret, sel=True, locals_=loc_pad, lokf=not m_hilo(),
-            kf_col=2 * GW, amax=m_amax,
+            kf_col=2 * GW, amax=m_amax, yf=maps.yf,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)
@@ -1069,15 +1182,16 @@ def make_score_init(mo: int, num_rot: int = 40,
     def score(maps, stencil, scan, class_weights, center_px, f):
         th, r, _ = stencil.shape
         p_tile = init_p_tile(mo)
+        rxm = YF_RX if maps.yf else RX
         m_var, m_amax = build_m_init(
             scan, class_weights, stencil, f, mo, num_rot, maps.qinv,
-            with_amax=True,
+            with_amax=True, yf=maps.yf,
         )
         ry, y8, xe, rx, in_range = _origins(
             center_px, maps, mo, map_resolution
         )
         pos, tile_midx, n_pad = _group_layout(
-            rx.astype(jnp.int32), RX, p_tile
+            rx.astype(jnp.int32), rxm, p_tile
         )
         origins = jnp.zeros((n_pad, 4), jnp.int32)
         origins = origins.at[pos].set(
@@ -1088,7 +1202,7 @@ def make_score_init(mo: int, num_rot: int = 40,
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
             kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
-            amax=m_amax,
+            amax=m_amax, yf=maps.yf,
         )
         if sel:
             n = center_px.shape[0]

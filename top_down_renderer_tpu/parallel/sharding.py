@@ -370,7 +370,7 @@ def make_sharded_step_multi(
     n_local = n_max // n_dev
     class_weights = _pad_class_weights(params, num_classes)
     if mo is None:
-        mo = ms.multi_mo(n_buckets)
+        mo = ms.multi_mo()
     if mode in ("tracked", "mixed"):
         scorer_t = ms.make_score_tracked_multi(
             n_buckets, bucket_mip_idx, map_resolution, interpret, mo
