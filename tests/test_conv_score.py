@@ -162,3 +162,25 @@ def test_conv_tracked_direct_path_matches_exact(monkeypatch):
     check so both field implementations stay covered."""
     monkeypatch.setattr(cs, "K4_MAX_BYTES", 0)
     test_conv_tracked_matches_exact()
+
+
+def test_fold_mm_parity():
+    """The relabel-matmul fold is BIT-exact vs the slice/pad/transpose
+    fold: its one-hot rows copy bf16 kernel values (never sum), and
+    out-of-range (dy + py) cells stay exactly zero."""
+    rng = np.random.default_rng(3)
+    for mo in (12, 24):
+        dr, dc = cs.conv_dims(mo)
+        for s_out in (33, 81):
+            k = jnp.asarray(
+                rng.standard_normal((dr, dc, 8, s_out)), jnp.bfloat16
+            )
+            # jitted: XLA-CPU's eager DotThunk rejects bf16 x bf16
+            ref = np.asarray(
+                jax.jit(cs.fold_kernel_s2d)(k), np.float32
+            )
+            mm = np.asarray(
+                jax.jit(cs.fold_kernel_s2d_mm)(k), np.float32
+            )
+            assert mm.shape == ref.shape
+            np.testing.assert_array_equal(mm, ref)

@@ -25,6 +25,7 @@ everything else.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -337,6 +338,63 @@ def fold_kernel_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(phases, axis=3)
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_relabel(d: int) -> np.ndarray:
+    """(d, extent*16) 0/1 relabel matrix for ONE spatial axis of the
+    s2d fold.  Column (D*4 + q)*4 + p — which simplifies to
+    (dy + p)*4 + p — is 1 at row dy iff dy = 4*D + q - p, i.e. exactly
+    fold_kernel_s2d's phase-p shifted slice along that axis, so
+    contracting the unfolded kernel axis with this matrix IS the fold
+    along that axis (one one-hot entry per (dy, p): the matmul copies
+    values, never sums)."""
+    e = s2d_extent(d)
+    m = np.zeros((d, e * 16), np.float32)
+    for dy in range(d):
+        for p in range(F_S2D):
+            m[dy, (dy + p) * F_S2D + p] = 1.0
+    return m
+
+
+def fold_mm() -> bool:
+    """TDR_FOLD_MM=1 switches cost_field_s2d to the relabel-matmul fold
+    (fold_kernel_s2d_mm); default stays the slice/pad/transpose fold
+    until the on-chip A/B lands (repo rule: no unmeasured defaults)."""
+    return os.environ.get("TDR_FOLD_MM", "0") == "1"
+
+
+def fold_kernel_s2d_mm(kernel: jnp.ndarray) -> jnp.ndarray:
+    """fold_kernel_s2d as two tiny relabel matmuls + ONE transpose.
+
+    The 16-phase slice/pad/transpose fold materializes 16 intermediates
+    whose minor dims (c=8, s_out~33 of 128 lanes) tile poorly (~1.5 ms
+    of the 5.06 ms r4 headline step).  The fold is separable per spatial
+    axis — K4[.., 4*DY+qy-py, ..] is a relabel dy -> (DY, qy, py) — so
+    contracting each kernel axis with the static 0/1 matrix
+    _fold_relabel(d) performs it on the MXU (~0.5 GFLOP total at mo=24)
+    and leaves one dense 8-axis transpose into the final
+    (DYe, DXe, (qy,qx,c), (p,s)) layout.  Bit-exact vs fold_kernel_s2d:
+    one-hot rows copy bf16 values, zero columns stay exactly zero
+    (tests/test_conv_score.py::test_fold_mm_parity)."""
+    dr, dc, c, s = kernel.shape
+    dye, dxe = s2d_extent(dr), s2d_extent(dc)
+    fy = jnp.asarray(_fold_relabel(dr), jnp.bfloat16)
+    fx = jnp.asarray(_fold_relabel(dc), jnp.bfloat16)
+    kb = kernel.astype(jnp.bfloat16)
+    t1 = jnp.einsum(
+        "yxcs,yi->ixcs", kb, fy, preferred_element_type=jnp.float32
+    )
+    t2 = jnp.einsum(
+        "ixcs,xj->ijcs", t1.astype(jnp.bfloat16), fx,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    k4 = (
+        t2.reshape(dye, F_S2D, F_S2D, dxe, F_S2D, F_S2D, c, s)
+        .transpose(0, 3, 1, 4, 6, 2, 5, 7)  # DY DX qy qx c py px s
+        .reshape(dye, dxe, F_S2D * F_S2D * c, F_S2D * F_S2D * s)
+    )
+    return k4
+
+
 def cost_field_s2d_k4(
     map4: jnp.ndarray,
     k4: jnp.ndarray,
@@ -401,8 +459,9 @@ def cost_field_s2d(
     center at padded (origin_y + iy, origin_x + ix) lives at
     j = iy + roy, Yb = j // 4, py = j % 4 (same for x), channel
     (py*4 + px)*s_out + s."""
+    fold = fold_kernel_s2d_mm if fold_mm() else fold_kernel_s2d
     return cost_field_s2d_k4(
-        map4, fold_kernel_s2d(kernel), origin_yx, mo, region, s_out
+        map4, fold(kernel), origin_yx, mo, region, s_out
     )
 
 
