@@ -1146,9 +1146,13 @@ class ParticleFilter:
         # the exact gather - the crop kernel would silently alias.
         range_bins = self.map.stencil.shape[1]
         # adaptive precision: coarse mo while the posterior spans
-        # multiple hypotheses, fine mo once it collapses to one
-        # diffused blob (see ms.multi_mo)
-        spread = float(scales.max() / max(scales.min(), 1e-20))
+        # many hypotheses, fine mo once <=2 adjacent ones remain (see
+        # ms.multi_mo).  Robust p2/p98 spread: a lone straggler at a
+        # dead hypothesis must not hold the whole population at coarse
+        # precision (it still gets scored - its slot stays in the
+        # table - it just doesn't vote on the precision phase).
+        lo, hi = np.percentile(scales, [2.0, 98.0])
+        spread = float(hi / max(lo, 1e-20))
         mo = ms.multi_mo(spread)
         fmax = mo / max(range_bins - 1, 1)
         # the +1 px crop margin absorbs the BASE rtol spread; ladder

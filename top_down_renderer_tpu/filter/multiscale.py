@@ -66,9 +66,13 @@ SCALE_RTOL = 0.02  # max |scale - slot| / slot within a bucket
 RTOL_LADDER = (SCALE_RTOL, 0.04, 0.08)
 MO_MULTI = 12  # coarse static crop bucket (wide-posterior phase)
 MO_MULTI_FINE = 24  # fine crop bucket (sharpened-posterior phase)
-# adaptive threshold: alive-scale spread (max/min) at or below this
-# scores at the fine mo
-MULTI_FINE_SPREAD = 1.20
+# adaptive threshold: alive-scale spread (robust p2/p98 ratio) at or
+# below this scores at the fine mo.  1.6 = two adjacent discrete
+# hypotheses (10^{1/10} = 1.26 apart, particle_filter.cpp:19-25) plus
+# diffusion margin: once <=2 neighbors remain, mip-px granularity is
+# what separates them, and the frozen-scale quality it buys dominates
+# the rest of the drive (see multi_mo docstring for the measured A/B)
+MULTI_FINE_SPREAD = 1.60
 
 
 def multi_mo(scale_spread: float = float("inf")) -> int:
@@ -80,26 +84,32 @@ def multi_mo(scale_spread: float = float("inf")) -> int:
     the crop rows/lanes (contraction k 28672 -> 8192, crop DMA 35 ->
     12 KB per particle).  mo=24 is finest-mip granularity.
 
-    Measured tradeoff (TPU v5e, 102,400 particles, round 4): fixed
-    mo=12 lifts throughput past the >=50 steps/s north-star (tracked
-    30.7 -> 53.1, init 43.9 -> 79.5 steps/s,
-    benchmarks/chain_log.jsonl) but REGRESSES the unknown-scale
-    closed-loop drive mean error 9.68 m -> 13.11 m (+35%, scale
-    rel-err 2.5% -> 3.4-4.6%; benchmarks/loc_results.json tags
-    benchmark_loc_uscale{,_mo12}).  The adaptive default resolves
-    that: while the posterior still spans multiple scale hypotheses
-    (spread > MULTI_FINE_SPREAD - e.g. the 10 discrete init
-    hypotheses, particle_filter.cpp:19-25, span 7.9x) precision is
-    convergence-limited and the coarse mo keeps exploration fast; once
-    resampling collapses the survivors to one diffused blob (spread
-    within ~20%, i.e. the 2%/step diffusion width) the fine mo
-    restores 1-mip-px pose precision for the pre-freeze tracking
-    phase.  (A bucket-count gate does NOT work: diffusion keeps the
-    blob split across 3-8 rtol-width slots all the way to the freeze,
-    so kp never drops to the init-distinct range.)  TDR_MULTI_MO=12|24
-    forces a fixed value for A/B sweeps (bench.py BENCH_MULTI=1
-    measures the 10-hypothesis init population = mo 12 under the
-    adaptive default)."""
+    Measured tradeoff (TPU v5e, 102,400 particles bench / 20,480
+    drive, seed-matched 3-run unknown-scale city drives,
+    benchmarks/loc_results.json):
+
+      fixed mo=24:        7.96 m mean  (10.81/4.65/8.39), rel scale
+                          err 0.9-2.6%; multi regimes 30.7/43.9
+                          steps/s (BELOW the >=50 north-star)
+      fixed mo=12:       13.11 m mean  (2 runs), rel err 3.4-4.6%;
+                          regimes 53.1/79.5 steps/s
+      adaptive @ 1.20:   11.68 m mean  (7.97/8.99/18.05) - the gate
+                          fired too late: the posterior spends most of
+                          the pre-freeze phase at spread 1.2-2, scored
+                          coarse, and the frozen scale inherits the
+                          mip-2 quantization error
+
+    The multi path only runs for the ~50-100 pre-freeze steps of a
+    drive, but the scale it freezes poisons (or doesn't) the entire
+    remaining drive - so precision wins whenever <=2 adjacent
+    hypotheses remain (spread <= 1.6) and coarse speed is reserved for
+    the genuinely multi-hypothesis culling phase (the 10 discrete init
+    hypotheses span 7.9x).  (A bucket-count gate does NOT work:
+    diffusion keeps the blob split across 3-8 rtol-width slots all the
+    way to the freeze, so kp never drops to the init-distinct range.)
+    TDR_MULTI_MO=12|24 forces a fixed value for A/B sweeps (bench.py
+    BENCH_MULTI=1 measures the 10-hypothesis init population = mo 12
+    under the adaptive default)."""
     v = os.environ.get("TDR_MULTI_MO", "")
     if v:
         v = int(v)
