@@ -175,8 +175,13 @@ def main():
             st.scale_frozen,
         )
     )
-    # the fused conv step folds propagate into the same dispatch
-    fused_motion = (not exact) and (not multi) and path == "conv"
+    # the fused conv step folds propagate into the same dispatch (and
+    # the crop step too under TDR_FUSE_CROP=1, filter.crop_fused)
+    from top_down_renderer_tpu.filter.filter import crop_fused
+
+    fused_motion = (not exact) and (not multi) and (
+        path == "conv" or (path.startswith("crop") and crop_fused())
+    )
     motion_j = jnp.asarray([1.0, 0.0, 0.01, 1.0, 1.0], jnp.float32)
 
     def full_step(state, scan):

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -48,6 +49,15 @@ from top_down_renderer_tpu.filter.scoring import (
 FLT_MAX = float(np.finfo(np.float32).max)
 
 logger = logging.getLogger(__name__)
+
+
+def crop_fused() -> bool:
+    """TDR_FUSE_CROP=1 compiles the crop scoring + tail (+ deferred
+    propagate) as ONE jit, like the conv path: one dispatch fewer per
+    step and no inter-dispatch gap.  Default OFF pending the on-chip
+    A/B - the split keeps each exploration-transient variant's compile
+    small (the shared tail is reused across crop variants)."""
+    return os.environ.get("TDR_FUSE_CROP", "0") == "1"
 
 
 def weight_from_cost(
@@ -317,7 +327,7 @@ def make_update_step_fast(
     from top_down_renderer_tpu.filter import conv_score as cs
 
     if fused is None:
-        fused = path == "conv"
+        fused = path == "conv" or (path == "crop" and crop_fused())
     class_weights = _pad_class_weights(params, grid_num_classes)
     if not fused and tail_fn is None:
         tail_fn = make_tail_fn(
@@ -1550,7 +1560,7 @@ class ParticleFilter:
             )
         elif fast is not None:
             mode, mo, scale_h, path, region, s0, ww, mip = fast
-            if path == "conv":
+            if path == "conv" or (path == "crop" and crop_fused()):
                 # fused step: the deferred propagate rides the same
                 # dispatch as scoring + tail
                 motion = jnp.asarray(self._pop_motion())
