@@ -374,7 +374,15 @@ def fold_kernel_s2d_mm(kernel: jnp.ndarray) -> jnp.ndarray:
     and leaves one dense 8-axis transpose into the final
     (DYe, DXe, (qy,qx,c), (p,s)) layout.  Bit-exact vs fold_kernel_s2d:
     one-hot rows copy bf16 values, zero columns stay exactly zero
-    (tests/test_conv_score.py::test_fold_mm_parity)."""
+    (tests/test_conv_score.py::test_fold_mm_parity).
+
+    MEASURED SLOWER on v5e (same-session A/B, 102,400 particles,
+    2026-08-19): headline step 5.69 ms vs 5.19 ms base - the final
+    8-axis transpose pays the same lane re-tiling the 16-slice concat
+    does (the (p, s) minor dim interleaves 33-lane chunks across
+    128-lane tiles either way), plus the einsum intermediates.  Kept
+    parity-tested behind TDR_FOLD_MM=1; the remaining fold lever is a
+    Pallas relayout kernel writing (128, 528) blocks directly."""
     dr, dc, c, s = kernel.shape
     dye, dxe = s2d_extent(dr), s2d_extent(dc)
     fy = jnp.asarray(_fold_relabel(dr), jnp.bfloat16)
