@@ -45,10 +45,13 @@ def main():
     cw = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
     maps = ps.build_padded_maps(jnp.asarray(packed))
 
-    xs, ys = np.meshgrid(np.arange(16), np.arange(8))
+    # cover every x-residual variant of the active layout (16 for the
+    # int8 stack, 32 for the nibble-packed TDR_MAP_INT4=1 stack)
+    nrx = 32 if ps.map_int4() else 16
+    xs, ys = np.meshgrid(np.arange(nrx), np.arange(8))
     grid = np.stack([80.0 + xs.ravel(), 80.0 + ys.ravel()], -1)
-    rnd = rng.integers(40, 210, (N - len(grid), 2))
-    centers = np.concatenate([grid, rnd]).astype(np.float32)
+    rnd = rng.integers(40, 210, (max(N - len(grid), 0), 2))
+    centers = np.concatenate([grid, rnd])[:N].astype(np.float32)
     thetas = (rng.random(N) * 2 * np.pi).astype(np.float32)
 
     costs_e, kf_e = score_all_rotations(

@@ -253,6 +253,80 @@ def test_init_interpret_parity(setup, monkeypatch):
     _check(ref.ravel(), got.ravel(), kfe_b.ravel(), kf_b.ravel(), "init")
 
 
+def test_int4_tracked_and_init_parity(setup, monkeypatch):
+    """Nibble-packed crop layout (TDR_MAP_INT4=1): interpret-mode
+    parity for both scoring flavors.
+
+    Two references bound two distinct error sources:
+      1. exact gather on the DEQUANTIZED int4 map — isolates the
+         kernel/packing logic (unpack, plane-split M, 32-px x-residual
+         rotate) at the int8-M tolerance of the int8-layout tests;
+      2. exact gather on the f32 map — bounds the int4 quantization
+         noise itself (16 levels/channel averaged over ~2,500 stencil
+         cells)."""
+    stencil, scan, cw, _maps, centers, costs_e, kf_e, rng = setup
+    monkeypatch.setenv("TDR_MAP_INT4", "1")
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo, **kw: 16)
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
+    packed, _, _, _, _, _ = _world()
+    maps_i4 = ps.build_padded_maps(jnp.asarray(packed))
+    assert maps_i4.i4
+    assert maps_i4.stacked.shape[2] == maps_i4.wp * 4
+
+    # reference 1: exact scorer on the dequantized int4 field
+    amax = np.maximum(packed.reshape(-1, 8).max(0), 1e-6)
+    deq = np.clip(np.round(packed * (15.0 / amax)), 0, 15) * (
+        amax / 15.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(maps_i4.qinv), amax / 15.0, rtol=1e-6
+    )
+    costs_q, kf_q = score_all_rotations(
+        jnp.asarray(deq.astype(np.float32)),
+        jnp.asarray(stencil),
+        jnp.asarray(scan),
+        cw,
+        jnp.asarray(centers),
+        jnp.full(N, 1.0, jnp.float32),
+        jnp.asarray(F, jnp.float32),
+        num_classes=C,
+        map_resolution=1.0,
+        chunk_size=N,
+    )
+    costs_q, kf_q = np.asarray(costs_q), np.asarray(kf_q)
+
+    mo = ps.pick_crop_size(F, R)
+    thetas = (rng.random(N) * 2 * np.pi).astype(np.float32)
+    num, den, kf = ps.score_tracked_fast_mo(
+        maps_i4, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(thetas), F, mo,
+        interpret=True,
+    )
+    s = np.asarray(rotation_shift(jnp.asarray(thetas), TH))
+    got = np.asarray(num) / np.asarray(den)
+    _check(
+        costs_q[np.arange(N), s], got, kf_q, np.asarray(kf),
+        "int4 tracked vs dequantized ref",
+    )
+    _check(
+        costs_e[np.arange(N), s], got, kf_e, np.asarray(kf),
+        "int4 tracked vs f32 ref",
+    )
+
+    nums, dens, kfi = ps.score_init_fast_mo(
+        maps_i4, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), F, mo, interpret=True,
+    )
+    ssh = np.asarray(search_shifts(TH, 40))
+    gots = np.asarray(nums) / np.asarray(dens)
+    kfir = np.asarray(kfi)
+    for j in (0, 13, 39):
+        _check(
+            costs_q[:, ssh][:, j], gots[:, j], kf_q, kfir,
+            f"int4 init rot {j}",
+        )
+
+
 def test_yfold_tracked_and_init_parity(setup, monkeypatch):
     """y-folded crop layout (TDR_YFOLD=1): interpret-mode parity for
     both scoring flavors against the exact gather.  The layout is

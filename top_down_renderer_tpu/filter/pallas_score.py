@@ -124,6 +124,57 @@ def yfold() -> bool:
     return os.environ.get("TDR_YFOLD", "0") == "1"
 
 
+# --- int4 (nibble-packed) crop layout (uniform-scale paths) -----------
+#
+# The spread-regime kernel is crop-DMA-bound (r5 ablation: 8.5 ms of
+# the 12 ms kernel at mo=24/102k moves 3.67 GB of int8 crops).  Packing
+# the 8 map channels of each pixel into 4 bytes - byte j of a pixel
+# holds channel 2j in the LOW nibble and channel 2j+1 in the HIGH
+# nibble, values quantized to [0, 15] - halves the per-pixel bytes.
+# The costs are (a) the 128-lane DMA-start granularity widens from
+# 16 px (128/8 B) to 32 px (128/4 B), growing the rotate margin so the
+# net crop-byte saving is ~40% at mo=24 rather than 50%, and (b) map
+# granularity drops to amax/15 per channel (~3.3 m on a 50 m-truncated
+# distance field).  The cost sum averages ~2,500 independently-rounded
+# map cells, so the statistical cost noise is ~0.2% (interpret parity
+# test bounds it); the known channel's {0, 1} maps to {0, 15} exactly,
+# keeping norm/kf arithmetic exact.
+#
+# In-kernel the unpack is three i32 VPU ops on the rolled crop's int32
+# bitcast view (w & 0x0F0F0F0F -> even channels, (w >> 4) & 0x0F0F0F0F
+# -> odd channels; the arithmetic-shift sign fill lands only on masked
+# bits) and the contraction splits into two half-K int8 MXU passes
+# against an even/odd-plane-split M - the same total MACs as the
+# trimmed int8 layout.  The x-residual lane-rotate carries over
+# unchanged: the i32 bitcast roll is lane(=byte)-granular and rx*4
+# bytes = rx whole pixels, so nibble pairing is never split.
+I4_RX = 32  # x-residual variants (128 lanes / 4 bytes per px)
+
+
+def map_int4() -> bool:
+    """TDR_MAP_INT4=1 stores the crop-DMA map stack nibble-packed
+    (uniform-scale crop paths only; the K-bucket multi pyramid stays
+    int8).  Default off pending the on-chip perf + accuracy A/B."""
+    return os.environ.get("TDR_MAP_INT4", "0") == "1"
+
+
+def crop_cols_i4(mo: int) -> int:
+    """int4-layout crop width in px: reach px = rx + (mo+1) + off_x
+    <= 2*mo + 32, rounded to the 32-px lane tile (128 lanes = 32 px)."""
+    return -(-(2 * mo + 33) // 32) * 32
+
+
+def trim_bytes_i4(mo: int) -> int:
+    """Per-plane contraction width in packed bytes.  M support ends at
+    px = 2*mo + 1 (rx = 0 build), i.e. (2*mo + 2) * 4 bytes, rounded to
+    the 128-lane tile.  The rx roll wraps garbage into the last
+    (I4_RX - 1) * 4 = 124 bytes; the trim must stop short of them."""
+    t = -(-((2 * mo + 2) * 4) // 128) * 128
+    dcb = crop_cols_i4(mo) * 4
+    assert t <= dcb - (I4_RX - 1) * 4, (mo, t, dcb)
+    return t
+
+
 def crop_cols_yf(mo: int) -> int:
     """Folded-layout crop width in px: reach 2*mo+1, +1 px rotate
     margin, rounded to the 2-px lane-tile (128 lanes = 2 px)."""
@@ -212,7 +263,8 @@ class PaddedMaps:
     exact."""
 
     stacked: jnp.ndarray  # (8, Hp, Wp*8) int8 row-shifted copies, or
-    #                       (8, Hp/8, Wp*64) when yf (y-folded layout)
+    #                       (8, Hp/8, Wp*64) when yf (y-folded layout),
+    #                       or (8, Hp, Wp*4) nibble-packed when i4
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
     padded4d: jnp.ndarray  # (~Hp/4, ~Wp/4, 128) bf16 s2d phase fold
     qinv: jnp.ndarray = None  # (8,) f32 per-channel dequant multipliers
@@ -220,6 +272,7 @@ class PaddedMaps:
     wp: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
     yf: bool = struct.field(pytree_node=False, default=False)
+    i4: bool = struct.field(pytree_node=False, default=False)
 
 
 def quantize_channels(packed: jnp.ndarray):
@@ -235,14 +288,36 @@ def quantize_channels(packed: jnp.ndarray):
     return pq, amax / 126.0
 
 
+def quantize_channels_int4(packed: jnp.ndarray):
+    """(H, W, 8) f32 -> ((H, W, 4) int8 nibble-packed bytes, (8,) f32
+    qinv).  Per-channel q = 15/max(v): the map channels are
+    non-negative by construction (truncated distance fields + the
+    {0, 1} known mask, which maps to {0, 15} exactly); negative inputs
+    would clamp to 0.  Byte j of a pixel = ch 2j | (ch 2j+1 << 4)."""
+    p32 = packed.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(p32, axis=(0, 1)), 1e-6)  # (8,)
+    v = jnp.clip(jnp.round(p32 * (15.0 / amax)), 0, 15).astype(
+        jnp.int32
+    )
+    byte = v[..., 0::2] | (v[..., 1::2] << 4)  # (H, W, 4) in [0, 255]
+    pq = jax.lax.bitcast_convert_type(
+        byte.astype(jnp.uint8), jnp.int8
+    )
+    return pq, amax / 15.0
+
+
 def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     """(H, W, 8) f32 -> zero-padded 2D view stacked over 8 y-shifts
     (int8-quantized for the crop DMA path; bf16 for the conv path).
     Zeros = dist 0 / known 0 = the reference's out-of-bounds values."""
     from top_down_renderer_tpu.filter.conv_score import fold_map_s2d
 
-    pq, qinv = quantize_channels(packed)
     yf = yfold()
+    i4 = map_int4() and not yf
+    if i4:
+        pq, qinv = quantize_channels_int4(packed)
+    else:
+        pq, qinv = quantize_channels(packed)
     p = jnp.pad(pq, ((pad, pad + 8), (pad, pad), (0, 0)))
     hp_full = p.shape[0]
     wp = p.shape[1]
@@ -261,14 +336,14 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
             ]
         )
     else:
-        p2 = p.reshape(hp_full, wp * C_PAD)
+        p2 = p.reshape(hp_full, wp * (4 if i4 else C_PAD))
         stacked = jnp.stack([p2[k : k + hp] for k in range(8)])
     pb = jnp.pad(
         packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
     )
     return PaddedMaps(
         stacked=stacked, padded3d=pb[:hp], padded4d=fold_map_s2d(pb[:hp]),
-        qinv=qinv, hp=int(hp), wp=int(wp), pad=int(pad), yf=yf,
+        qinv=qinv, hp=int(hp), wp=int(wp), pad=int(pad), yf=yf, i4=i4,
     )
 
 
@@ -294,14 +369,26 @@ def _build_base_y_from_pix(
       y[(ch, s), slot] = circ3_T ((C_PAD*s_cols), TR) @ onehot (TR, slots)
       base_T[s, slot*C_PAD + ch] = y[(ch, s), slot]
     """
-    tr = pix8.shape[0]
+    circ2 = _make_circ2(
+        pix8.shape[0], c, cost_cols, norm_cols, s_cols, qinv
+    )
+    n_slots = kext // C_PAD
+    lhs = (
+        circ2.transpose(1, 2, 0)
+        .reshape(C_PAD * s_cols, pix8.shape[0])
+        .astype(jnp.bfloat16)
+    )
+    y = _onehot_contract(lhs, pix8 // C_PAD, n_slots)
+    return y.reshape(C_PAD, s_cols, n_slots)
+
+
+def _make_circ2(tr, c, cost_cols, norm_cols, s_cols, qinv):
+    """(tr, C_PAD, s_cols) coefficient tensor: channels < c carry cost,
+    channel c carries norm + the kf count, channels > c are zero
+    padding; per-channel dequantization (qinv) is folded in so the
+    quantized crop values need no separate dequant pass."""
     n_cost = cost_cols.shape[1]
     n_norm = norm_cols.shape[1]
-    n_slots = kext // C_PAD
-    pix_cell = pix8 // C_PAD
-
-    # circ2[i, ch, col]: channels < c carry cost, channel c carries
-    # norm + the kf count, channels > c are zero padding
     circ2 = jnp.zeros((tr, C_PAD, s_cols), jnp.float32)
     circ2 = circ2.at[:, :c, :n_cost].set(
         cost_cols.reshape(tr, c, n_cost)
@@ -309,16 +396,14 @@ def _build_base_y_from_pix(
     circ2 = circ2.at[:, c, n_cost : n_cost + n_norm].set(norm_cols)
     circ2 = circ2.at[:, c, n_cost + n_norm].set(1.0)
     if qinv is not None:
-        # int8 crop path: fold the per-channel dequantization into the
-        # coefficients (crop values are q-scaled integers)
         circ2 = circ2 * qinv[None, :, None]
-    lhs = (
-        circ2.transpose(1, 2, 0)
-        .reshape(C_PAD * s_cols, tr)
-        .astype(jnp.bfloat16)
-    )
+    return circ2
 
-    # chunk the one-hot to ~16 MB of bf16
+
+def _onehot_contract(lhs, pix_cell, n_slots):
+    """lhs (rows, tr) bf16 @ onehot(pix_cell) (tr, n_slots) -> (rows,
+    n_slots) f32, with the one-hot chunked to ~16 MB of bf16."""
+    tr = pix_cell.shape[0]
     n_chunks = max(1, -(-(tr * n_slots * 2) // (16 << 20)))
     kc = -(-n_slots // (n_chunks * 128)) * 128
     parts = []
@@ -328,8 +413,41 @@ def _build_base_y_from_pix(
         parts.append(
             jnp.dot(lhs, onehot, preferred_element_type=jnp.float32)
         )
-    y = jnp.concatenate(parts, axis=1)[:, :n_slots]
-    return y.reshape(C_PAD, s_cols, n_slots)
+    return jnp.concatenate(parts, axis=1)[:, :n_slots]
+
+
+def _build_base_t_i4(
+    pix4: jnp.ndarray,  # (TR,) plane-byte base index per stencil cell
+    kext_plane: int,  # dr * trim_bytes_i4(mo)
+    circ2: jnp.ndarray,  # (TR, C_PAD, s_cols) f32, qinv folded
+    with_amax: bool = False,
+):
+    """int4-layout base matrix: (s_cols, 2*kext_plane) bf16 with the
+    even-channel plane in k < kext_plane and the odd plane after it
+    (matching the kernel's nibble unpack).  Within a plane
+    k = py * trim_bytes_i4 + px * 4 + ch // 2."""
+    n_slots = kext_plane // 4
+    pix_cell = pix4 // 4
+    outs, amaxes = [], []
+    for plane in (circ2[:, 0::2, :], circ2[:, 1::2, :]):
+        lhs = (
+            plane.transpose(1, 2, 0)
+            .reshape(4 * plane.shape[2], plane.shape[0])
+            .astype(jnp.bfloat16)
+        )
+        y = _onehot_contract(lhs, pix_cell, n_slots).reshape(
+            4, plane.shape[2], n_slots
+        )
+        outs.append(
+            y.transpose(1, 2, 0)
+            .reshape(plane.shape[2], n_slots * 4)
+            .astype(jnp.bfloat16)
+        )
+        amaxes.append(jnp.max(jnp.abs(y), axis=(0, 2)))
+    out = jnp.concatenate(outs, axis=-1)
+    if with_amax:
+        return out, jnp.maximum(amaxes[0], amaxes[1])
+    return out
 
 
 def _build_base_t_from_pix(
@@ -365,12 +483,15 @@ def _build_base_t_from_pix(
     return out
 
 
-def _stencil_pix(stencil: jnp.ndarray, f, mo: int, yf: bool = False):
+def _stencil_pix(
+    stencil: jnp.ndarray, f, mo: int, yf: bool = False,
+    i4: bool = False,
+):
     """Stencil offsets -> crop-pixel coordinates at rx=0."""
     dr, dc = crop_dims(mo)
     off = jnp.round(stencil.reshape(-1, 2) * f).astype(jnp.int32)
     py = off[:, 0] + dr // 2
-    if yf:
+    if yf or i4:
         px = off[:, 1] + mo + 1  # matches _origins' x0 = cx-(mo+1)
     else:
         px = off[:, 1] + (dc - 16) // 2
@@ -388,6 +509,7 @@ def _build_base_t(
     qinv: jnp.ndarray | None = None,
     with_amax: bool = False,
     yf: bool = False,
+    i4: bool = False,
 ):
     """Crop-path base matrix, emitted directly in the kernel's TRIMMED
     contraction layout k = py * trim_lanes(mo) + px * C_PAD + ch.
@@ -401,8 +523,19 @@ def _build_base_t(
 
     yf: the y-folded contraction layout
     k = (py//8)*(dc2*64) + px*64 + (py%8)*8 + ch (no separate trim:
-    the 1-2 px rotate margin is the only slack)."""
+    the 1-2 px rotate margin is the only slack).
+
+    i4: the nibble-packed layout - even/odd channel planes concatenated
+    along k (see _build_base_t_i4)."""
     dr, dc = crop_dims(mo)
+    if i4:
+        t4 = trim_bytes_i4(mo)
+        circ2 = _make_circ2(
+            norm_cols.shape[0], c, cost_cols, norm_cols, s_cols, qinv
+        )
+        return _build_base_t_i4(
+            py * t4 + px * 4, dr * t4, circ2, with_amax
+        )
     if yf:
         dc2 = crop_cols_yf(mo)
         lanes = dc2 * 8 * C_PAD
@@ -427,6 +560,7 @@ def build_m_tracked(
     qinv: jnp.ndarray | None = None,
     with_amax: bool = False,
     yf: bool = False,
+    i4: bool = False,
 ):
     """(N_GROUPS, 2*GW+2, K) bf16 variants for tracked mode, transposed
     so the kernel's manual M DMA slices along the 128-aligned K minor.
@@ -436,7 +570,7 @@ def build_m_tracked(
     variant axis: the kernel lane-rotates each crop tile instead (16x
     less M build/memory/DMA)."""
     c, th, r = scan.shape
-    py, px = _stencil_pix(stencil, f, mo, yf)
+    py, px = _stencil_pix(stencil, f, mo, yf, i4)
 
     # per-group shift windows, built at the USED shifts only (one row
     # gather, circulants_at_shifts) and the USED columns only (2*GW
@@ -451,7 +585,7 @@ def build_m_tracked(
     )  # (TR*C, 7*16), (TR, 7*16)
     return jax.vmap(
         lambda cc, nc: _build_base_t(
-            mo, py, px, c, cc, nc, 2 * GW + 2, qinv, with_amax, yf
+            mo, py, px, c, cc, nc, 2 * GW + 2, qinv, with_amax, yf, i4
         )
     )(
         jnp.moveaxis(cost_sel.reshape(-1, N_GROUPS, GW), 1, 0),
@@ -469,6 +603,7 @@ def build_m_init(
     qinv: jnp.ndarray | None = None,
     with_amax: bool = False,
     yf: bool = False,
+    i4: bool = False,
 ):
     """(1, 2*num_rot+2, K) bf16 for the theta-search mode: cols
     [0:num_rot) cost at the search shifts, [num_rot:2*num_rot) norm,
@@ -477,12 +612,12 @@ def build_m_init(
     c, th, r = scan.shape
     ssh = search_shifts(th, num_rot)
     cost_sel, norm_sel = circulants_at_shifts(scan, class_weights, ssh)
-    py, px = _stencil_pix(stencil, f, mo, yf)
+    py, px = _stencil_pix(stencil, f, mo, yf, i4)
     # used columns only (2*num_rot + kf + lokf slot = 82 of the
     # kernel's 128); _run_kernel zero-pads post-quant
     out = _build_base_t(
         mo, py, px, c, cost_sel, norm_sel, 2 * num_rot + 2, qinv,
-        with_amax, yf,
+        with_amax, yf, i4,
     )  # (2*num_rot+2, dr*t)
     if with_amax:
         return out[0][None], out[1][None]
@@ -495,6 +630,7 @@ def _kernel(
     sems, *, mo: int, p_tile: int, s_cols: int, interp: bool = False,
     sel: bool = False, sel_init: int = 0, kf_thresh: float = 0.0,
     lokf: bool = False, kf_col: int = -1, yf: bool = False,
+    i4: bool = False,
 ):
     """Double-buffered crop pipeline: tile i's matmul overlaps tile i+1's
     crop DMAs.  Crop-completion waits are batched on one per-slot
@@ -519,6 +655,11 @@ def _kernel(
         dc8 = crop_cols_yf(mo) * 8 * C_PAD  # lanes per folded row
         rxm = YF_RX
         rxl = 8 * C_PAD  # lanes per px
+    elif i4:
+        rows = dr
+        dc8 = crop_cols_i4(mo) * 4  # packed bytes per row
+        rxm = I4_RX
+        rxl = 4  # bytes per px
     else:
         rows = dr
         dc8 = dc * C_PAD
@@ -628,21 +769,49 @@ def _kernel(
         # everything past them is structurally-zero M columns + the
         # roll's wrap garbage.  (y-folded layout: the margin is only
         # 1-2 px, keep the full row.)
-        t = dc8 if yf else trim_lanes(mo)
-        if t < dc8:
-            rolled = rolled[:, :, :t]
-        flat = rolled.reshape(p_tile, rows * t)
-        # one int8 x int8 MXU contraction over [M_hi | M_lo] (2x the
-        # bf16 rate, full 128 output lanes, and no int8 -> bf16 convert
-        # pass over the crops); per-(variant, column) scales dequantize
-        # the i32 accumulator halves (hardware-exact int8 matmul:
-        # tests/probe_int8_mm.py)
-        acc = jax.lax.dot_general(
-            flat,
-            m_buf[...],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        if i4:
+            # nibble-packed crops: trim, unpack the two channel planes
+            # (three i32 VPU ops on the bitcast view; the arithmetic-
+            # shift sign fill lands only on masked-off bits), contract
+            # each int8 plane against its half of M.  Same total MACs
+            # as the trimmed int8 layout, ~40% fewer crop DMA bytes.
+            t = trim_bytes_i4(mo)
+            tr8 = rolled[:, :, :t]
+            if interp:
+                even = tr8 & jnp.int8(15)
+                odd = (tr8 >> 4) & jnp.int8(15)
+            else:
+                w = pltpu.bitcast(tr8, jnp.int32)
+                even = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
+                odd = pltpu.bitcast((w >> 4) & 0x0F0F0F0F, jnp.int8)
+            k2 = rows * t
+            acc = jax.lax.dot_general(
+                even.reshape(p_tile, k2),
+                m_buf[:, :k2],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + jax.lax.dot_general(
+                odd.reshape(p_tile, k2),
+                m_buf[:, k2:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            t = dc8 if yf else trim_lanes(mo)
+            if t < dc8:
+                rolled = rolled[:, :, :t]
+            flat = rolled.reshape(p_tile, rows * t)
+            # one int8 x int8 MXU contraction over [M_hi | M_lo] (2x
+            # the bf16 rate, full 128 output lanes, and no int8 ->
+            # bf16 convert pass over the crops); per-(variant, column)
+            # scales dequantize the i32 accumulator halves (hardware-
+            # exact int8 matmul: tests/probe_int8_mm.py)
+            acc = jax.lax.dot_general(
+                flat,
+                m_buf[...],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
         sc = acc.astype(jnp.float32) * m_scale_ref[0]
         # lokf: single int8 plane; the kf column's lo residual rides the
         # adjacent structurally-zero column and is folded at the reads
@@ -721,7 +890,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "mo", "p_tile", "s_cols", "interpret", "sel", "sel_init",
-        "kf_thresh", "lokf", "kf_col", "yf",
+        "kf_thresh", "lokf", "kf_col", "yf", "i4",
     ),
 )
 def _run_kernel(
@@ -741,6 +910,7 @@ def _run_kernel(
     kf_col: int = -1,
     amax: jnp.ndarray | None = None,
     yf: bool = False,
+    i4: bool = False,
 ) -> jnp.ndarray:
     n_pad = origins.shape[0]
     if locals_ is None:
@@ -752,6 +922,11 @@ def _run_kernel(
         lanes = crop_cols_yf(mo) * 8 * C_PAD
         k = rows * lanes
         rxm = YF_RX
+    elif i4:
+        rows = dr
+        lanes = crop_cols_i4(mo) * 4
+        k = 2 * dr * trim_bytes_i4(mo)  # even | odd channel planes
+        rxm = I4_RX
     else:
         rows = dr
         lanes = dc * C_PAD
@@ -874,6 +1049,7 @@ def _run_kernel(
             _kernel, mo=mo, p_tile=p_tile, s_cols=s_cols,
             interp=interpret, sel=sel, sel_init=sel_init,
             kf_thresh=kf_thresh, lokf=lokf, kf_col=kf_col, yf=yf,
+            i4=i4,
         ),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((n_pad, s_cols), jnp.float32),
@@ -1086,6 +1262,9 @@ def _origins(
     if maps.yf:
         dc = crop_cols_yf(mo)
         x0 = cx - (mo + 1) + pad
+    elif maps.i4:
+        dc = crop_cols_i4(mo)
+        x0 = cx - (mo + 1) + pad
     else:
         x0 = cx - (dc - 16) // 2 + pad
     in_range = (
@@ -1101,6 +1280,9 @@ def _origins(
     if maps.yf:
         rx = x0c % YF_RX
         xe = (x0c - rx) // 2  # 128-lane tiles of 64 lanes/px
+    elif maps.i4:
+        rx = x0c % I4_RX
+        xe = (x0c - rx) // 32  # 128-lane tiles of 4 bytes/px
     else:
         rx = x0c % RX
         xe = (x0c - rx) * C_PAD // 128  # kernel multiplies by 128
@@ -1114,10 +1296,10 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
     def score(maps, stencil, scan, class_weights, center_px, theta, f):
         th, r, _ = stencil.shape
         p_tile = tracked_p_tile(mo)
-        rxm = YF_RX if maps.yf else RX
+        rxm = YF_RX if maps.yf else (I4_RX if maps.i4 else RX)
         m_var, m_amax = build_m_tracked(
             scan, class_weights, stencil, f, mo, maps.qinv,
-            with_amax=True, yf=maps.yf,
+            with_amax=True, yf=maps.yf, i4=maps.i4,
         )
         s = rotation_shift(theta, th)
         g = s // GW
@@ -1144,7 +1326,7 @@ def make_score_tracked(mo: int, map_resolution: float = 1.0,
         out = _run_kernel(
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
             interpret, sel=True, locals_=loc_pad, lokf=not m_hilo(),
-            kf_col=2 * GW, amax=m_amax, yf=maps.yf,
+            kf_col=2 * GW, amax=m_amax, yf=maps.yf, i4=maps.i4,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)
@@ -1182,10 +1364,10 @@ def make_score_init(mo: int, num_rot: int = 40,
     def score(maps, stencil, scan, class_weights, center_px, f):
         th, r, _ = stencil.shape
         p_tile = init_p_tile(mo)
-        rxm = YF_RX if maps.yf else RX
+        rxm = YF_RX if maps.yf else (I4_RX if maps.i4 else RX)
         m_var, m_amax = build_m_init(
             scan, class_weights, stencil, f, mo, num_rot, maps.qinv,
-            with_amax=True, yf=maps.yf,
+            with_amax=True, yf=maps.yf, i4=maps.i4,
         )
         ry, y8, xe, rx, in_range = _origins(
             center_px, maps, mo, map_resolution
@@ -1202,7 +1384,7 @@ def make_score_init(mo: int, num_rot: int = 40,
             maps.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
             kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
-            amax=m_amax, yf=maps.yf,
+            amax=m_amax, yf=maps.yf, i4=maps.i4,
         )
         if sel:
             n = center_px.shape[0]
