@@ -1168,14 +1168,31 @@ class ParticleFilter:
         # the +1 px crop margin absorbs the BASE rtol spread; ladder
         # rungs beyond it inflate f so the mip choice stays safe
         infl = (1.0 + rtol) / (1.0 + ms.SCALE_RTOL)
-        mips = tuple(
-            ms.mip_for_f(float(s) * infl * res, fmax)
-            for s in slots_p
-        )
-        if any(m is None for m in mips):
-            return self._slow_path(
-                "a scale bucket saturates even the mip-64 pyramid level"
-            )
+        # a slot that saturates even mip=64 normally drops the whole
+        # dispatch to the exact gather (the crop kernel would silently
+        # alias) - but when EVERY particle in the slot sits above the
+        # scale gate (slot*(1-rtol) > 10^scale_log_max), their weights
+        # are zeroed by weight_from_cost regardless of cost, so the
+        # slot is scored at a clamped scale on the coarsest level
+        # instead of stalling the step ~300x (observed in the r5
+        # unknown-scale drives: one diffusion outlier past scale 30
+        # cost 2-3 exact-gather steps per run)
+        gate_hi = 10.0 ** self.params.scale_log_max
+        s_cap = fmax * 64.0 / (infl * res)
+        mips_l = []
+        for i, s in enumerate(slots_p):
+            m = ms.mip_for_f(float(s) * infl * res, fmax)
+            if m is None:
+                if float(s) * (1.0 - rtol) > gate_hi:
+                    slots_p[i] = s_cap
+                    m = 64
+                else:
+                    return self._slow_path(
+                        "a scale bucket saturates even the mip-64 "
+                        "pyramid level"
+                    )
+            mips_l.append(m)
+        mips = tuple(mips_l)
         levels = tuple(sorted(set(mips)))
         bmi = tuple(levels.index(m) for m in mips)
         self._slow_reason = None
