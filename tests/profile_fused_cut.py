@@ -81,6 +81,33 @@ def main():
             if upto == "propagate":
                 return p0.theta
             f = p0.scale[0] * res
+            if upto in ("kbuild", "kfold", "field"):
+                # score sub-cuts: mirror make_conv_scorer's s2d branch
+                # (returning the intermediate forces materialization,
+                # so deltas bound each piece's in-graph cost)
+                kernel = cs.build_conv_kernel(
+                    scan, cw, stencil, f, MO, "tracked", 40, WW, s0)
+                if upto == "kbuild":
+                    return kernel
+                fold = (cs.fold_kernel_s2d_mm if cs.fold_mm()
+                        else cs.fold_kernel_s2d)
+                k4 = fold(kernel)
+                if upto == "kfold":
+                    return k4
+                center_px = p0.pose_px()
+                cy = jnp.round(center_px[:, 1]).astype(jnp.int32) + maps.pad
+                cx = jnp.round(center_px[:, 0]).astype(jnp.int32) + maps.pad
+                hp, wp, _ = maps.padded3d.shape
+                dr, dc = cs.conv_dims(MO)
+                big = jnp.int32(1 << 30)
+                oy = jnp.clip(jnp.min(jnp.where(p0.alive, cy, big)),
+                              dr // 2, hp - (REGION + dr - 1) + dr // 2)
+                ox = jnp.clip(jnp.min(jnp.where(p0.alive, cx, big)),
+                              dc // 2, wp - (REGION + dc - 1) + dc // 2)
+                out4, roy, rox = cs.cost_field_s2d_k4(
+                    maps.padded4d, k4, jnp.stack([oy, ox]), MO, REGION,
+                    2 * WW + 1)
+                return out4
             num, den, kf = scorer(
                 maps.padded3d, maps.padded4d, maps.pad, stencil, scan,
                 cw, p0.pose_px(), p0.theta, f, p0.alive, s0)
@@ -117,7 +144,8 @@ def main():
 
     st_nogmm = state.replace(step=jnp.asarray(1, jnp.int32))
     last = 0.0
-    for stage in ("propagate", "score", "weights", "resample", "full"):
+    for stage in ("propagate", "kbuild", "kfold", "field", "score",
+                  "weights", "resample", "full"):
         dt = timeit(f"upto:{stage}", prefix(stage), st_nogmm)
         print(f"   delta {dt - last:8.3f} ms")
         last = dt

@@ -184,3 +184,39 @@ def test_fold_mm_parity():
             )
             assert mm.shape == ref.shape
             np.testing.assert_array_equal(mm, ref)
+
+
+def test_kf_split_matches_combined(monkeypatch):
+    """TDR_KF_SPLIT=1 (32-aligned main fold + separate kf matmul) must
+    reproduce the combined-kernel scorer: the main columns are the
+    same k4 columns contracted over the same patches in the same f32
+    order, and the kf column sees identical values."""
+    f = 1.0
+    mo = ps.pick_crop_size(f, R)
+    packed, stencil, scan, cw, centers, thetas = _setup(seed=5)
+    maps = ps.build_padded_maps(jnp.asarray(packed))
+    alive = jnp.ones(len(centers), bool)
+    # windowed tracked mode: pick s0 so every theta's shift falls in
+    # [s0, s0+ww) modulo TH -- thetas drawn near a band
+    thetas = (0.3 + 0.8 * np.random.default_rng(5).random(
+        len(centers))).astype(np.float32)
+    s0, ww = 3, 16
+    args = (
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers), jnp.asarray(thetas), f, alive,
+        jnp.asarray(s0, jnp.int32),
+    )
+    base = cs.make_conv_scorer(mo, 64, "tracked", window_w=ww)
+    n0, d0, k0 = base(*args)
+    monkeypatch.setenv("TDR_KF_SPLIT", "1")
+    split = cs.make_conv_scorer(mo, 64, "tracked", window_w=ww)
+    n1, d1, k1 = split(*args)
+    np.testing.assert_allclose(
+        np.asarray(n1), np.asarray(n0), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d0), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(k1), np.asarray(k0), rtol=1e-6, atol=1e-6
+    )

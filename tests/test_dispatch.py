@@ -189,3 +189,35 @@ def test_scale_host_mirrors():
             np.asarray(pf.state.particles.alive)]).mean())
     )
     assert abs(pf.scale() - geo) / geo < 1e-5
+
+
+def test_multi_saturating_gate_dead_slot_clamps():
+    """A scale outlier past the weight gate (scale > 10^scale_log_max)
+    whose bucket saturates even mip-64 must NOT drop the step to the
+    exact gather: its weight is zeroed by weight_from_cost regardless
+    of cost, so the slot is clamped onto the coarsest level."""
+    import jax.numpy as jnp
+
+    pf = _pf(fixed_scale=-1.0)
+    p = pf.state.particles
+    scales = np.full(p.scale.shape, 2.0, np.float32)
+    scales[:8] = 50.0  # past gate_hi = 10^1, saturates mip-64 at res 1
+    pf.state = pf.state.replace(
+        particles=p.replace(scale=jnp.asarray(scales))
+    )
+    out = pf._multi_mode(1.0)
+    assert out is not None and out[3] == "multi", pf._slow_reason
+    slots = out[4]
+    # the saturating slot was clamped to a representable scale
+    assert np.max(slots) < 50.0
+
+    # negative control: a saturating slot INSIDE the gate still falls
+    # back (scoring it clamped would corrupt live weights)
+    scales2 = np.full(p.scale.shape, 1.0, np.float32)
+    scales2[:8] = 8.0  # inside the gate; saturates at res 8
+    pf.state = pf.state.replace(
+        particles=p.replace(scale=jnp.asarray(scales2))
+    )
+    out2 = pf._multi_mode(8.0)
+    assert out2 is None
+    assert "saturates" in (pf._slow_reason or "")

@@ -362,6 +362,19 @@ def fold_mm() -> bool:
     return os.environ.get("TDR_FOLD_MM", "0") == "1"
 
 
+def kf_split() -> bool:
+    """TDR_KF_SPLIT=1 folds the kf (known-count) column into its own
+    tiny K4 and runs it as a second matmul, so the main fold
+    concatenates 2*window_w-lane phase chunks instead of 2*ww+1: at
+    ww=16 the chunks are 32 lanes (exactly 1/4 of the 128-lane tile)
+    and every phase boundary is 32-aligned, where the odd 33-lane
+    interleave forces per-element lane rotates across every output
+    tile.  Gated off pending the on-chip A/B.  Applies to tracked mode
+    with (2*window_w) % 32 == 0 only (the full-window and init
+    kernels stay combined)."""
+    return os.environ.get("TDR_KF_SPLIT", "0") == "1"
+
+
 def fold_kernel_s2d_mm(kernel: jnp.ndarray) -> jnp.ndarray:
     """fold_kernel_s2d as two tiny relabel matmuls + ONE transpose.
 
@@ -454,6 +467,70 @@ def cost_field_s2d_k4(
 @functools.partial(
     jax.jit, static_argnames=("mo", "region", "s_out")
 )
+def cost_field_s2d_split(
+    map4: jnp.ndarray,
+    kernel: jnp.ndarray,
+    origin_yx: jnp.ndarray,
+    mo: int,
+    region: int,
+    s_out: int,
+):
+    """kf-split variant of cost_field_s2d (TDR_KF_SPLIT=1): the main
+    kernel columns [0, s_out-1) fold at 32-lane-aligned phase chunks
+    and the kf column [s_out-1] folds into its own (DYe, DXe, 128, 16)
+    K4 scored by a second matmul over the same im2col patches.
+
+    Returns (out4 (nYb, nXb, 16*(s_out-1)), out_kf (nYb, nXb, 16),
+    roy, rox); out_kf channel = the spatial phase py*4 + px."""
+    dr, dc = conv_dims(mo)
+    sm = s_out - 1
+    assert (sm % 32) == 0, sm
+    k4 = fold_kernel_s2d(kernel[..., :sm])
+    k4_kf = fold_kernel_s2d(kernel[..., sm:])
+    f = F_S2D
+    dye, dxe = s2d_extent(dr), s2d_extent(dc)
+    nyb, nxb = region // f + 1, region // f + 1
+    y0 = origin_yx[0] - dr // 2
+    x0 = origin_yx[1] - dc // 2
+    ys4, roy = y0 // f, y0 % f
+    xs4, rox = x0 // f, x0 % f
+    block = jax.lax.dynamic_slice(
+        map4,
+        (ys4, xs4, 0),
+        (nyb + dye - 1, nxb + dxe - 1, f * f * C_PAD),
+    )
+    pat = jnp.stack(
+        [
+            jax.lax.slice(
+                block, (dy, dx, 0),
+                (dy + nyb, dx + nxb, f * f * C_PAD),
+            )
+            for dy in range(dye)
+            for dx in range(dxe)
+        ],
+        axis=2,
+    ).reshape(nyb * nxb, dye * dxe * f * f * C_PAD)
+    out = jnp.dot(
+        pat,
+        k4.reshape(dye * dxe * f * f * C_PAD, -1),
+        preferred_element_type=jnp.float32,
+    )
+    out_kf = jnp.dot(
+        pat,
+        k4_kf.reshape(dye * dxe * f * f * C_PAD, -1),
+        preferred_element_type=jnp.float32,
+    )
+    return (
+        out.reshape(nyb, nxb, -1),
+        out_kf.reshape(nyb, nxb, -1),
+        roy,
+        rox,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mo", "region", "s_out")
+)
 def cost_field_s2d(
     map4: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -538,6 +615,9 @@ def make_conv_scorer(
         16 * s_out * s2d_extent(dr) * s2d_extent(dc) * 128 * 2
     )
     use_s2d = k4_bytes <= K4_MAX_BYTES
+    use_split = (
+        kf_split() and mode == "tracked" and (2 * window_w) % 32 == 0
+    )
 
     def score(padded3d, padded4d, pad, stencil, scan, class_weights,
               center_px, theta, f, alive, s0=0):
@@ -570,6 +650,27 @@ def make_conv_scorer(
                 scan, class_weights, stencil, f, mo, mode, num_rot,
                 window_w, s0,
             )
+            if use_split:
+                out4, out_kf, roy, rox = cost_field_s2d_split(
+                    padded4d, kernel, jnp.stack([oy, ox]), mo,
+                    region, s_out,
+                )
+                sm = s_out - 1  # 2*window_w main columns per phase
+                nxb = region // F_S2D + 1
+                jy = iy + roy
+                jx = ix + rox
+                cell16 = (
+                    ((jy // F_S2D) * nxb + jx // F_S2D) * 16
+                    + (jy % F_S2D) * F_S2D
+                    + jx % F_S2D
+                )
+                flat = out4.reshape(-1)
+                s = rotation_shift(theta, th)
+                local = jnp.clip((s - s0) % th, 0, window_w - 1)
+                cost = flat[cell16 * sm + local]
+                norm = flat[cell16 * sm + window_w + local]
+                kf = out_kf.reshape(-1)[cell16] / (th * r)
+                return cost, norm, kf
             out4, roy, rox = cost_field_s2d(
                 padded4d, kernel, jnp.stack([oy, ox]), mo, region,
                 s_out,
