@@ -21,16 +21,22 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def timeit(fn, *args, reps=30, warm=2):
+def _fence(out):
+    # value-read fence: block_until_ready returns early on axon
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf[(0,) * leaf.ndim])
+
+
+def timeit(fn, *args, reps=30, warm=2):
     for _ in range(warm):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
@@ -64,21 +70,27 @@ def main():
     )
     thetas = jnp.asarray(rng.random(n) * 2 * np.pi, jnp.float32)
 
+    rxm = ps.I4_RX if maps.i4 else (ps.YF_RX if maps.yf else ps.RX)
     if mode == "tracked":
         p_tile = int(os.environ.get("BENCH_PTILE", ps.tracked_p_tile(mo)))
         s_cols = 64
-        m_var = ps.build_m_tracked(scan, cw, stencil, f, mo)
+        m_var = ps.build_m_tracked(
+            scan, cw, stencil, f, mo, maps.qinv, yf=maps.yf, i4=maps.i4
+        )
         from top_down_renderer_tpu.filter.scoring import rotation_shift
 
         s = rotation_shift(thetas, th)
-        key = (s // ps.GW) * ps.RX
-        n_groups = ps.RX * ps.N_GROUPS
+        key = (s // ps.GW) * rxm
+        n_groups = rxm * ps.N_GROUPS
     else:
         p_tile = int(os.environ.get("BENCH_PTILE", ps.init_p_tile(mo)))
         s_cols = 128
-        m_var = ps.build_m_init(scan, cw, stencil, f, mo)
+        m_var = ps.build_m_init(
+            scan, cw, stencil, f, mo, qinv=maps.qinv, yf=maps.yf,
+            i4=maps.i4,
+        )
         key = jnp.zeros((n,), jnp.int32)
-        n_groups = ps.RX
+        n_groups = rxm
 
     ry, y8, xe, rx, in_range = ps._origins(centers, maps, mo, 1.0)
     key = (key + rx).astype(jnp.int32)
@@ -90,16 +102,18 @@ def main():
     jax.block_until_ready((origins, m_var))
     n_tiles = n_pad // p_tile
     dr, dc = ps.crop_dims(mo)
-    crop_bytes = dr * dc * 8 * np.dtype(maps.stacked.dtype).itemsize
+    row_b = ps.crop_cols_i4(mo) * 4 if maps.i4 else dc * 8
+    crop_bytes = dr * row_b
     print(
         f"n={n} mo={mo} mode={mode} p_tile={p_tile} tiles={n_tiles} "
         f"crop={crop_bytes}B dma_total={n_pad * crop_bytes / 2**30:.2f}GiB "
-        f"dtype={maps.stacked.dtype}"
+        f"i4={maps.i4}"
     )
 
     kern = jax.jit(
         lambda o_, mi_, mv_: ps._run_kernel(
-            maps.stacked, o_, mi_, mv_, mo, p_tile, s_cols
+            maps.stacked, o_, mi_, mv_, mo, p_tile, s_cols,
+            i4=maps.i4,
         )
     )
     t = timeit(kern, origins, tile_midx, m_var, reps=20)

@@ -273,13 +273,15 @@ def test_int4_tracked_and_init_parity(setup, monkeypatch):
     assert maps_i4.i4
     assert maps_i4.stacked.shape[2] == maps_i4.wp * 4
 
-    # reference 1: exact scorer on the dequantized int4 field
+    # reference 1: exact scorer on the dequantized int4 field (even
+    # channels 4-bit, odd channels 3-bit - the e-dot packing)
     amax = np.maximum(packed.reshape(-1, 8).max(0), 1e-6)
-    deq = np.clip(np.round(packed * (15.0 / amax)), 0, 15) * (
-        amax / 15.0
+    qmax = np.array([15.0, 7.0] * 4, np.float32)
+    deq = np.clip(np.round(packed * (qmax / amax)), 0, qmax) * (
+        amax / qmax
     )
     np.testing.assert_allclose(
-        np.asarray(maps_i4.qinv), amax / 15.0, rtol=1e-6
+        np.asarray(maps_i4.qinv), amax / qmax, rtol=1e-6
     )
     costs_q, kf_q = score_all_rotations(
         jnp.asarray(deq.astype(np.float32)),

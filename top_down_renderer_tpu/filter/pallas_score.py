@@ -290,20 +290,26 @@ def quantize_channels(packed: jnp.ndarray):
 
 def quantize_channels_int4(packed: jnp.ndarray):
     """(H, W, 8) f32 -> ((H, W, 4) int8 nibble-packed bytes, (8,) f32
-    qinv).  Per-channel q = 15/max(v): the map channels are
-    non-negative by construction (truncated distance fields + the
-    {0, 1} known mask, which maps to {0, 15} exactly); negative inputs
-    would clamp to 0.  Byte j of a pixel = ch 2j | (ch 2j+1 << 4)."""
+    qinv).  Byte j of a pixel = ch 2j | (ch 2j+1 << 4), with even
+    channels quantized to [0, 15] (q = 15/max) and odd channels to
+    [0, 7] (q = 7/max) so the packed byte stays <= 127: a VALID SIGNED
+    int8 equal to e + 16*o, which lets the kernel contract the RAW
+    packed bytes on the MXU (see _kernel's e-dot identity) with only
+    ONE unpack op.  The map channels are non-negative by construction
+    (truncated distance fields + the {0, 1} known mask, which maps to
+    {0, 15} / {0, 7} exactly - norm/kf arithmetic stays exact on
+    either parity); negative inputs would clamp to 0."""
     p32 = packed.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(p32, axis=(0, 1)), 1e-6)  # (8,)
-    v = jnp.clip(jnp.round(p32 * (15.0 / amax)), 0, 15).astype(
-        jnp.int32
-    )
-    byte = v[..., 0::2] | (v[..., 1::2] << 4)  # (H, W, 4) in [0, 255]
+    qmax = jnp.asarray([15.0, 7.0] * 4, jnp.float32)
+    v = jnp.clip(
+        jnp.round(p32 * (qmax / amax)), 0, qmax
+    ).astype(jnp.int32)
+    byte = v[..., 0::2] | (v[..., 1::2] << 4)  # (H, W, 4) in [0, 127]
     pq = jax.lax.bitcast_convert_type(
         byte.astype(jnp.uint8), jnp.int8
     )
-    return pq, amax / 15.0
+    return pq, amax / qmax
 
 
 def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
@@ -422,31 +428,45 @@ def _build_base_t_i4(
     circ2: jnp.ndarray,  # (TR, C_PAD, s_cols) f32, qinv folded
     with_amax: bool = False,
 ):
-    """int4-layout base matrix: (s_cols, 2*kext_plane) bf16 with the
-    even-channel plane in k < kext_plane and the odd plane after it
-    (matching the kernel's nibble unpack).  Within a plane
-    k = py * trim_bytes_i4 + px * 4 + ch // 2."""
+    """int4-layout base matrix: (s_cols, 2*kext_plane) bf16.  Within a
+    plane k = py * trim_bytes_i4 + px * 4 + ch // 2.
+
+    The kernel contracts the low-nibble array e against the FIRST half
+    and the RAW packed bytes b = e + 16*o against the SECOND half, so
+    the planes emitted here are the e-dot identity's coefficients:
+
+        [ Me - Mo/16  |  Mo/16 ]
+        sum e*(Me - Mo/16) + sum (e + 16*o)*(Mo/16) = sum e*Me + o*Mo
+
+    - one VPU mask op per crop instead of a full two-plane unpack."""
     n_slots = kext_plane // 4
     pix_cell = pix4 // 4
-    outs, amaxes = [], []
+    ys = []
     for plane in (circ2[:, 0::2, :], circ2[:, 1::2, :]):
         lhs = (
             plane.transpose(1, 2, 0)
             .reshape(4 * plane.shape[2], plane.shape[0])
             .astype(jnp.bfloat16)
         )
-        y = _onehot_contract(lhs, pix_cell, n_slots).reshape(
-            4, plane.shape[2], n_slots
+        ys.append(
+            _onehot_contract(lhs, pix_cell, n_slots).reshape(
+                4, plane.shape[2], n_slots
+            )
         )
-        outs.append(
-            y.transpose(1, 2, 0)
-            .reshape(plane.shape[2], n_slots * 4)
-            .astype(jnp.bfloat16)
-        )
-        amaxes.append(jnp.max(jnp.abs(y), axis=(0, 2)))
+    y_e = ys[0] - ys[1] / 16.0
+    y_b = ys[1] / 16.0
+    s = circ2.shape[2]
+    outs = [
+        y.transpose(1, 2, 0).reshape(s, n_slots * 4).astype(jnp.bfloat16)
+        for y in (y_e, y_b)
+    ]
     out = jnp.concatenate(outs, axis=-1)
     if with_amax:
-        return out, jnp.maximum(amaxes[0], amaxes[1])
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(y_e), axis=(0, 2)),
+            jnp.max(jnp.abs(y_b), axis=(0, 2)),
+        )
+        return out, amax
     return out
 
 
@@ -770,28 +790,31 @@ def _kernel(
         # roll's wrap garbage.  (y-folded layout: the margin is only
         # 1-2 px, keep the full row.)
         if i4:
-            # nibble-packed crops: trim, unpack the two channel planes
-            # (three i32 VPU ops on the bitcast view; the arithmetic-
-            # shift sign fill lands only on masked-off bits), contract
-            # each int8 plane against its half of M.  Same total MACs
-            # as the trimmed int8 layout, ~40% fewer crop DMA bytes.
+            # nibble-packed crops, e-dot identity: the packed byte is
+            # the SIGNED value b = e + 16*o by construction (odd
+            # channels quantize to [0, 7], quantize_channels_int4), so
+            # contracting the RAW bytes against Mo/16 and the masked
+            # low nibbles e against Me - Mo/16 (both emitted by
+            # _build_base_t_i4) reconstructs e.Me + o.Mo exactly - the
+            # only VPU work per crop is one i32 mask (the full
+            # two-plane unpack + plane concat measured 26.5 ms/step vs
+            # int8's 19.2: three VMEM-sized temp writes serialized
+            # against the MXU).
             t = trim_bytes_i4(mo)
             tr8 = rolled[:, :, :t]
             if interp:
-                even = tr8 & jnp.int8(15)
-                odd = (tr8 >> 4) & jnp.int8(15)
+                e8 = tr8 & jnp.int8(15)
             else:
                 w = pltpu.bitcast(tr8, jnp.int32)
-                even = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
-                odd = pltpu.bitcast((w >> 4) & 0x0F0F0F0F, jnp.int8)
+                e8 = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)
             k2 = rows * t
             acc = jax.lax.dot_general(
-                even.reshape(p_tile, k2),
+                e8.reshape(p_tile, k2),
                 m_buf[:, :k2],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ) + jax.lax.dot_general(
-                odd.reshape(p_tile, k2),
+                tr8.reshape(p_tile, k2),
                 m_buf[:, k2:],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
