@@ -330,3 +330,70 @@ def test_pyramid_level_bounds(setup, monkeypatch):
     kf = np.asarray(kf)
     assert kf[0] == 0.0
     assert kf[1] > 0.5
+
+
+def test_multi_int4_bucket_parity(monkeypatch):
+    """TDR_MAP_INT4=1 pyramid: the K-bucket multi scorers must match
+    the uniform int4 scorers per bucket.  The per-channel maxima are
+    planted at (0, 0) (kept by every [::mip] subsample) so the pyramid
+    (quantize-then-subsample) and the uniform reference
+    (subsample-then-quantize) see identical quantized values."""
+    monkeypatch.setenv("TDR_MAP_INT4", "1")
+    monkeypatch.setattr(ps, "init_p_tile", lambda mo, **kw: 16)
+    monkeypatch.setattr(ps, "tracked_p_tile", lambda mo, **kw: 16)
+    packed, stencil, scan, cw, rng = _world(seed=9)
+    packed[0, 0, :C] = packed[..., :C].max() + 1.0
+    packed[0, 0, C] = 1.0
+    slot_vals = np.array([0.5, 1.0], np.float32)
+    pyr = ms.build_pyramid_maps(jnp.asarray(packed), (1, 2))
+    assert pyr.i4
+    n = 96
+    centers = rng.integers(48, 200, (n, 2)).astype(np.float32)
+    scale = np.where(rng.random(n) < 0.5, 0.5, 1.0).astype(np.float32)
+
+    score = ms.make_score_init_multi(2, (0, 1), interpret=True, mo=MO)
+    costs, norms, kf = map(np.asarray, score(
+        pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(scale),
+        jnp.asarray(slot_vals), jnp.asarray(1.0, jnp.float32),
+    ))
+    for k, (mip, sv) in enumerate(zip((1, 2), slot_vals)):
+        sel = scale == sv
+        cr, nr, kr = _uniform_ref_init(
+            packed, stencil, scan, cw, centers[sel], mip, sv / mip
+        )
+        np.testing.assert_allclose(
+            costs[sel], np.asarray(cr), rtol=2e-3, atol=1e-3,
+            err_msg=f"int4 bucket {k} costs",
+        )
+        np.testing.assert_allclose(
+            kf[sel], np.asarray(kr), atol=1e-3,
+            err_msg=f"int4 bucket {k} kf",
+        )
+
+    tscore = ms.make_score_tracked_multi(2, (0, 1), interpret=True,
+                                         mo=MO)
+    thetas = (rng.random(n) * 2 * np.pi).astype(np.float32)
+    tc, tn, tk = map(np.asarray, tscore(
+        pyr, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.asarray(thetas), jnp.asarray(scale),
+        jnp.asarray(slot_vals), jnp.asarray(1.0, jnp.float32),
+    ))
+    for k, (mip, sv) in enumerate(zip((1, 2), slot_vals)):
+        sel = scale == sv
+        maps_u = ps.build_padded_maps(
+            jnp.asarray(packed[::mip, ::mip])
+        )
+        cu, nu, ku = ps.score_tracked_fast_mo(
+            maps_u, jnp.asarray(stencil), jnp.asarray(scan), cw,
+            jnp.asarray(centers[sel]), jnp.asarray(thetas[sel]),
+            sv / mip, MO, map_resolution=float(mip), interpret=True,
+        )
+        np.testing.assert_allclose(
+            tc[sel], np.asarray(cu), rtol=2e-3, atol=1e-3,
+            err_msg=f"int4 tracked bucket {k} costs",
+        )
+        np.testing.assert_allclose(
+            tk[sel], np.asarray(ku), atol=1e-3,
+            err_msg=f"int4 tracked bucket {k} kf",
+        )

@@ -182,27 +182,38 @@ class PyramidMaps:
     every level subsamples the same quantized values, so one (8,) qinv
     dequantizes all levels (folded into the M builds)."""
 
-    stacked: jnp.ndarray  # (8, H_tot, Wp_max*8) int8
+    stacked: jnp.ndarray  # (8, H_tot, Wp_max*8) int8 ((.., Wp_max*4)
+    #                       nibble-packed when i4)
     qinv: jnp.ndarray = None  # (8,) f32 per-channel dequant multipliers
     mips: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     row_off: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     hp: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     wp: Tuple[int, ...] = struct.field(pytree_node=False, default=())
     pad: int = struct.field(pytree_node=False, default=0)
+    i4: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_pyramid_maps(
     packed: jnp.ndarray, mips: Tuple[int, ...], pad: int = ps.MAP_PAD
 ) -> PyramidMaps:
-    """(H, W, 8) f32 full-res packed map -> pyramid stack over `mips`."""
-    pq, qinv = ps.quantize_channels(packed)
+    """(H, W, 8) f32 full-res packed map -> pyramid stack over `mips`.
+
+    TDR_MAP_INT4=1 stores the stack nibble-packed (see pallas_score's
+    int4 layout note); every level subsamples the SAME quantized
+    values, so one (8,) qinv covers all levels either way."""
+    i4 = ps.map_int4()
+    cb = 4 if i4 else C_PAD  # bytes per pixel
+    if i4:
+        pq, qinv = ps.quantize_channels_int4(packed)
+    else:
+        pq, qinv = ps.quantize_channels(packed)
     hps, wps, offs = [], [], []
     off = 0
     p2s = []
     for m in mips:
         p = jnp.pad(pq[::m, ::m], ((pad, pad), (pad, pad), (0, 0)))
         hp, wp = p.shape[0], p.shape[1]
-        p2s.append(p.reshape(hp, wp * C_PAD))
+        p2s.append(p.reshape(hp, wp * cb))
         hps.append(hp)
         wps.append(wp)
         offs.append(off)
@@ -222,6 +233,7 @@ def build_pyramid_maps(
         hp=tuple(hps),
         wp=tuple(wps),
         pad=pad,
+        i4=i4,
     )
 
 
@@ -271,7 +283,11 @@ def _origins_pyramid(
         center_px[:, 0] / (map_resolution * mips)
     ).astype(jnp.int32)
     y0l = cy - dr // 2 + pad  # within-level row
-    x0 = cx - (dc - 16) // 2 + pad
+    if pyr.i4:
+        dc = ps.crop_cols_i4(mo)
+        x0 = cx - (mo + 1) + pad
+    else:
+        x0 = cx - (dc - 16) // 2 + pad
     in_range = (
         (y0l >= 0)
         & (y0l <= hp_l - dr)
@@ -282,8 +298,12 @@ def _origins_pyramid(
     x0c = jnp.where(in_range, x0, 0)
     ry = y0 % 8
     y8 = (y0 - ry) // 8
-    rx = x0c % RX
-    xe = (x0c - rx) * C_PAD // 128
+    if pyr.i4:
+        rx = x0c % ps.I4_RX
+        xe = (x0c - rx) // 32  # 128-lane tiles of 4 bytes/px
+    else:
+        rx = x0c % RX
+        xe = (x0c - rx) * C_PAD // 128
     return ry, y8, xe, rx, in_range
 
 
@@ -293,7 +313,7 @@ def _origins_pyramid(
 
 
 def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
-                       qinv=None, with_amax=False):
+                       qinv=None, with_amax=False, i4=False):
     """(K, 2*num_rot+2, Kext): one theta-search M per bucket (the
     kernel handles the x-residual by rotating the crop; _run_kernel
     zero-pads the unused columns post-quant).  f_eff: (K,) effective
@@ -302,7 +322,7 @@ def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
     out = jax.vmap(
         lambda f: build_m_init(
             scan, class_weights, stencil, f, mo, num_rot, qinv,
-            with_amax,
+            with_amax, i4=i4,
         )
     )(f_eff)  # (K, 1, s_m, k)[, (K, 1, s_m)]
     if with_amax:
@@ -312,13 +332,13 @@ def build_m_init_multi(scan, class_weights, stencil, f_eff, mo, num_rot,
 
 
 def build_m_tracked_multi(scan, class_weights, stencil, f_eff, mo,
-                          qinv=None, with_amax=False):
+                          qinv=None, with_amax=False, i4=False):
     """(K*N_GROUPS, 2*GW+2, Kext): tracked variant table, bucket-major
     (used columns only; _run_kernel zero-pads post-quant).  with_amax
     also returns (K*N_GROUPS, 2*GW+2) per-column amax."""
     out = jax.vmap(
         lambda f: build_m_tracked(scan, class_weights, stencil, f, mo,
-                                  qinv, with_amax)
+                                  qinv, with_amax, i4=i4)
     )(f_eff)  # (K, N_GROUPS, s_m, k)[, (K, N_GROUPS, s_m)]
     if with_amax:
         m, am = out
@@ -363,17 +383,18 @@ def make_score_init_multi(
             [pyr.mips[i] for i in bucket_mip_idx], jnp.float32
         )
         f_eff = slot_vals * res / mips  # (K,)
+        rxm = ps.I4_RX if pyr.i4 else RX
         m_var, m_amax = build_m_init_multi(
             scan, class_weights, stencil, f_eff, mo, num_rot, pyr.qinv,
-            with_amax=True,
+            with_amax=True, i4=pyr.i4,
         )
         bucket = assign_buckets(scale, slot_vals)
         ry, y8, xe, rx, in_range = _origins_pyramid(
             center_px, bucket, pyr, bucket_mip_idx, mo, map_resolution
         )
-        key = (bucket * RX + rx).astype(jnp.int32)
+        key = (bucket * rxm + rx).astype(jnp.int32)
         pos, tile_midx, n_pad = ps._group_layout(
-            key, n_buckets * RX, p_tile
+            key, n_buckets * rxm, p_tile
         )
         origins = jnp.zeros((n_pad, 4), jnp.int32)
         origins = origins.at[pos].set(
@@ -384,7 +405,7 @@ def make_score_init_multi(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 128,
             interpret, sel_init=(num_rot if sel else 0),
             kf_thresh=0.5 * th * r, lokf=lokf, kf_col=2 * num_rot,
-            amax=m_amax,
+            amax=m_amax, i4=pyr.i4,
         )
         if sel:
             n = center_px.shape[0]
@@ -437,9 +458,10 @@ def make_score_tracked_multi(
             [pyr.mips[i] for i in bucket_mip_idx], jnp.float32
         )
         f_eff = slot_vals * res / mips
+        rxm = ps.I4_RX if pyr.i4 else RX
         m_var, m_amax = build_m_tracked_multi(
             scan, class_weights, stencil, f_eff, mo, pyr.qinv,
-            with_amax=True,
+            with_amax=True, i4=pyr.i4,
         )
         bucket = assign_buckets(scale, slot_vals)
         s = rotation_shift(theta, th)
@@ -447,12 +469,12 @@ def make_score_tracked_multi(
         ry, y8, xe, rx, in_range = _origins_pyramid(
             center_px, bucket, pyr, bucket_mip_idx, mo, map_resolution
         )
-        # variant(bucket, g)-major key (kernel: divmod(key, RX))
+        # variant(bucket, g)-major key (kernel: divmod(key, rxm))
         key = (
-            (bucket * N_GROUPS + g) * RX + rx
+            (bucket * N_GROUPS + g) * rxm + rx
         ).astype(jnp.int32)
         pos, tile_midx, n_pad = ps._group_layout(
-            key, n_buckets * RX * N_GROUPS, p_tile
+            key, n_buckets * rxm * N_GROUPS, p_tile
         )
         origins = jnp.zeros((n_pad, 4), jnp.int32)
         origins = origins.at[pos].set(
@@ -467,6 +489,7 @@ def make_score_tracked_multi(
             pyr.stacked, origins, tile_midx, m_var, mo, p_tile, 64,
             interpret, sel=True, locals_=loc_pad,
             lokf=not ps.m_hilo(), kf_col=2 * GW, amax=m_amax,
+            i4=pyr.i4,
         )
         inv = jnp.full((n_pad,), n, jnp.int32).at[pos].set(
             jnp.arange(n, dtype=jnp.int32)
