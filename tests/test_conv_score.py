@@ -206,6 +206,7 @@ def test_kf_split_matches_combined(monkeypatch):
         jnp.asarray(centers), jnp.asarray(thetas), f, alive,
         jnp.asarray(s0, jnp.int32),
     )
+    monkeypatch.setenv("TDR_KF_SPLIT", "0")
     base = cs.make_conv_scorer(mo, 64, "tracked", window_w=ww)
     n0, d0, k0 = base(*args)
     monkeypatch.setenv("TDR_KF_SPLIT", "1")

@@ -369,10 +369,12 @@ def kf_split() -> bool:
     ww=16 the chunks are 32 lanes (exactly 1/4 of the 128-lane tile)
     and every phase boundary is 32-aligned, where the odd 33-lane
     interleave forces per-element lane rotates across every output
-    tile.  Gated off pending the on-chip A/B.  Applies to tracked mode
-    with (2*window_w) % 32 == 0 only (the full-window and init
-    kernels stay combined)."""
-    return os.environ.get("TDR_KF_SPLIT", "0") == "1"
+    tile.  Default ON since the on-chip A/B: 4.02 ms/step (249
+    steps/s) vs 5.06 ms base at 102,400 particles (chain_log
+    headline_kfsplit, TPU v5e).  Applies to tracked mode with
+    (2*window_w) % 32 == 0 only (the full-window and init kernels
+    stay combined); TDR_KF_SPLIT=0 restores the combined fold."""
+    return os.environ.get("TDR_KF_SPLIT", "1") == "1"
 
 
 def fold_kernel_s2d_mm(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -664,26 +666,34 @@ def make_conv_scorer(
                     + (jy % F_S2D) * F_S2D
                     + jx % F_S2D
                 )
-                flat = out4.reshape(-1)
+                rows = out4.reshape(-1, sm)[cell16]  # (n, 2*ww)
                 s = rotation_shift(theta, th)
                 local = jnp.clip((s - s0) % th, 0, window_w - 1)
-                cost = flat[cell16 * sm + local]
-                norm = flat[cell16 * sm + window_w + local]
+                lane = jnp.arange(sm, dtype=jnp.int32)[None, :]
+                cost = jnp.sum(
+                    jnp.where(lane == local[:, None], rows, 0.0), 1
+                )
+                norm = jnp.sum(
+                    jnp.where(
+                        lane == window_w + local[:, None], rows, 0.0
+                    ),
+                    1,
+                )
                 kf = out_kf.reshape(-1)[cell16] / (th * r)
                 return cost, norm, kf
             out4, roy, rox = cost_field_s2d(
                 padded4d, kernel, jnp.stack([oy, ox]), mo, region,
                 s_out,
             )
-            flat = out4.reshape(-1)
+            rows2d = out4.reshape(-1, s_out)
             nxb = region // F_S2D + 1
             jy = iy + roy
             jx = ix + rox
-            base = (
+            cell = (
                 ((jy // F_S2D) * nxb + jx // F_S2D) * 16
                 + (jy % F_S2D) * F_S2D
                 + jx % F_S2D
-            ) * s_out
+            )
         else:
             kernel = build_conv_kernel(
                 scan, class_weights, stencil, f, mo, mode, num_rot,
@@ -697,22 +707,35 @@ def make_conv_scorer(
                 region,
                 s_out,
             )
-            flat = field.reshape(-1)
-            base = (iy * region + ix) * s_out
+            rows2d = field.reshape(-1, s_out)
+            cell = iy * region + ix
+        # ONE (n, s_out) row gather + lane selects instead of separate
+        # element gathers: TPU gathers are descriptor-bound
+        # (~1.7e8 desc/s -> ~0.6 ms per 102k descriptors), so the
+        # tracked mode's three scalar gathers and the init mode's
+        # (n, 2*num_rot) index gather each cost 2-24x one row gather
+        rows = rows2d[cell]  # (n, s_out)
         if mode == "tracked":
             s = rotation_shift(theta, th)
             # column within the circular window; clamped for noise-tail
             # outliers (they read the window edge)
             local = jnp.clip((s - s0) % th, 0, window_w - 1)
-            cost = flat[base + local]
-            norm = flat[base + window_w + local]
-            kf = flat[base + 2 * window_w] / (th * r)
+            lane = jnp.arange(s_out, dtype=jnp.int32)[None, :]
+            # where() keeps other lanes out of the sum while the
+            # selected lane's value (incl. a NaN) propagates
+            cost = jnp.sum(
+                jnp.where(lane == local[:, None], rows, 0.0), 1
+            )
+            norm = jnp.sum(
+                jnp.where(lane == window_w + local[:, None], rows, 0.0),
+                1,
+            )
+            kf = rows[:, 2 * window_w] / (th * r)
             return cost, norm, kf
-        # init: gather all num_rot shifts per particle
-        idx = base[:, None] + jnp.arange(num_rot)[None, :]
-        costs = flat[idx]
-        norms = flat[idx + num_rot]
-        kf = flat[base + 2 * num_rot] / (th * r)
+        # init: all num_rot shifts per particle, from the same rows
+        costs = rows[:, :num_rot]
+        norms = rows[:, num_rot : 2 * num_rot]
+        kf = rows[:, 2 * num_rot] / (th * r)
         return costs, norms, kf
 
     return score

@@ -154,7 +154,13 @@ I4_RX = 32  # x-residual variants (128 lanes / 4 bytes per px)
 def map_int4() -> bool:
     """TDR_MAP_INT4=1 stores the crop-DMA map stack nibble-packed
     (uniform-scale crop paths only; the K-bucket multi pyramid stays
-    int8).  Default off pending the on-chip perf + accuracy A/B."""
+    int8).  Stays OFF: the on-chip A/B measured it SLOWER despite
+    -36% crop-DMA bytes (spread tracked 38.3 vs 50.5 steps/s int8;
+    kernel micro-bench 19.5 vs 12.2 ms) - the e-dot nibble unpack
+    doubles the contraction's dot count and the kernel is
+    compute-bound, not DMA-bound, at these shapes.  Hardware parity
+    is clean (1.6e-3 median rel), so the layout remains available
+    for a future DMA-bound regime."""
     return os.environ.get("TDR_MAP_INT4", "0") == "1"
 
 

@@ -603,14 +603,14 @@ def make_sharded_step_fast(
                 preferred_element_type=jnp.float32,
             ).reshape(nybl, nxb, 16 * s_out)  # (nybl, nxb, 16*s_out)
             out4 = jax.lax.all_gather(out_loc, axis, tiled=True)
-            flat = out4.reshape(-1)
+            rows2d = out4.reshape(-1, s_out)
             jy = iy + roy
             jx = ix + rox
-            base = (
+            cell = (
                 ((jy // f4) * nxb + jx // f4) * 16
                 + (jy % f4) * f4
                 + jx % f4
-            ) * s_out
+            )
         else:
             # direct conv over this device's rl field rows of padded3d
             block = jax.lax.dynamic_slice(
@@ -627,22 +627,34 @@ def make_sharded_step_fast(
                 preferred_element_type=jnp.float32,
             )[0]  # (rl, region, s_out)
             field = jax.lax.all_gather(out_loc, axis, tiled=True)
-            flat = field.reshape(-1)
-            base = (iy * region + ix) * s_out
+            rows2d = field.reshape(-1, s_out)
+            cell = iy * region + ix
+        # ONE (n_local, s_out) row gather feeds both column sets; lane
+        # selects replace the per-element gathers (descriptor-bound,
+        # see conv_score.make_conv_scorer)
+        rows = rows2d[cell]
+        lane = jnp.arange(s_out, dtype=jnp.int32)[None, :]
+
         def tracked_cost(off):
             s = rotation_shift(p.theta, th)
             local = jnp.clip((s - s0) % th, 0, window_w - 1)
-            num = flat[base + off + local]
-            den = flat[base + off + window_w + local]
-            kf = flat[base + off + 2 * window_w] / (th * r)
+            num = jnp.sum(
+                jnp.where(lane == off + local[:, None], rows, 0.0), 1
+            )
+            den = jnp.sum(
+                jnp.where(
+                    lane == off + window_w + local[:, None], rows, 0.0
+                ),
+                1,
+            )
+            kf = rows[:, off + 2 * window_w] / (th * r)
             c = num / den
             return jnp.where(kf < 0.5, jnp.nan, c)
 
         def init_cost(off):
-            idx = base[:, None] + off + jnp.arange(num_rot)[None, :]
-            nums = flat[idx]
-            dens = flat[idx + num_rot]
-            kf = flat[base + off + 2 * num_rot] / (th * r)
+            nums = rows[:, off : off + num_rot]
+            dens = rows[:, off + num_rot : off + 2 * num_rot]
+            kf = rows[:, off + 2 * num_rot] / (th * r)
             costs = nums / dens
             costs = jnp.where(kf[:, None] < 0.5, jnp.nan, costs)
             return select_init_cost(costs, num_rot)
