@@ -102,7 +102,12 @@ def main():
     jax.block_until_ready((origins, m_var))
     n_tiles = n_pad // p_tile
     dr, dc = ps.crop_dims(mo)
-    row_b = ps.crop_cols_i4(mo) * 4 if maps.i4 else dc * 8
+    if maps.i4:
+        row_b = ps.crop_cols_i4(mo) * 4
+    elif maps.yf:
+        row_b = ps.crop_cols_yf(mo) * 8
+    else:
+        row_b = dc * 8
     crop_bytes = dr * row_b
     print(
         f"n={n} mo={mo} mode={mode} p_tile={p_tile} tiles={n_tiles} "
@@ -113,7 +118,7 @@ def main():
     kern = jax.jit(
         lambda o_, mi_, mv_: ps._run_kernel(
             maps.stacked, o_, mi_, mv_, mo, p_tile, s_cols,
-            i4=maps.i4,
+            yf=maps.yf, i4=maps.i4,
         )
     )
     t = timeit(kern, origins, tile_midx, m_var, reps=20)

@@ -105,13 +105,16 @@ def crop_dims(mo: int):
 # lanes wraps garbage into the last crop px, whose M coefficients are
 # structurally zero.
 #
-# DEFAULT OFF: Mosaic requires 8-sublane-aligned DMA starts
-# ("Failed to prove that a tile index in dimension 0 is divisible by
-# the tiling (8)", tests/probe_dma_unaligned.py on v5e), and the fold
-# consumes the 8 row-shifted copies' y-residual, leaving folded-row
-# starts arbitrary - satisfying Mosaic would take 8x8 = 64 map copies
-# (2 GB HBM at 2048^2).  Kept behind TDR_YFOLD=1 (interpret-mode
-# parity-tested) in case Mosaic grows unaligned sublane DMA support.
+# Mosaic requires 8-sublane-aligned DMA starts ("Failed to prove that
+# a tile index in dimension 0 is divisible by the tiling (8)",
+# tests/probe_dma_unaligned.py on v5e), and the fold consumes the 8
+# row-shifted copies' y-residual, leaving folded-row starts arbitrary.
+# The stack therefore holds 8x8 = 64 copies - (k = y%8 row shift) x
+# (d = folded-row shift) - so every crop start is provably 8-aligned:
+# crop at padded row y0 reads copy (y0%8)*8 + (y0//8)%8 at folded row
+# 8*(y0//64).  HBM cost: 64x the map bytes = 0.5 GB at 1024^2 x 8ch
+# int8 (each mip level costs 4x less); that buys 8x longer DMA bursts
+# on a path measured burst-limited at ~300 GB/s.  TDR_YFOLD=1.
 #
 # The K-bucket multi path keeps the row-major layout (its pyramid
 # stacking is row-granular); _run_kernel supports both via `yf`.
@@ -119,8 +122,9 @@ YF_RX = 2  # x-residual variants in the folded layout (128 lanes/2 px)
 
 
 def yfold() -> bool:
-    """Default OFF (see layout note above); TDR_YFOLD=1 enables the
-    y-folded crop layout (interpret/emulation only on current Mosaic)."""
+    """TDR_YFOLD=1 enables the y-folded crop layout (64-copy aligned
+    stack, see layout note above).  Default off pending the on-chip
+    perf + parity A/B; the HBM cost is 64x the int8 map bytes."""
     return os.environ.get("TDR_YFOLD", "0") == "1"
 
 
@@ -269,7 +273,7 @@ class PaddedMaps:
     exact."""
 
     stacked: jnp.ndarray  # (8, Hp, Wp*8) int8 row-shifted copies, or
-    #                       (8, Hp/8, Wp*64) when yf (y-folded layout),
+    #                       (64, Hp/8, Wp*64) when yf (y-folded layout),
     #                       or (8, Hp, Wp*4) nibble-packed when i4
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
     padded4d: jnp.ndarray  # (~Hp/4, ~Wp/4, 128) bf16 s2d phase fold
@@ -335,17 +339,24 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     wp = p.shape[1]
     hp = hp_full - 8
     if yf:
-        # y-folded copies: copy k holds rows [k, k+hp) folded 8-into-
-        # lanes (lane = x*64 + yy*8 + ch); hp rounded down to the fold
+        # y-folded copies (lane = x*64 + yy*8 + ch): copy k*8+d holds
+        # rows [k+8d, k+8d+hp) folded, so a crop at row y0 finds its
+        # folded rows at the 8-ALIGNED start 8*(y0//64) of copy
+        # (y0%8)*8 + (y0//8)%8 (Mosaic sublane-alignment proof, see
+        # layout note); hp rounded down to the fold
         hp = hp - hp % 8
-        stacked = jnp.stack(
-            [
-                p[k : k + hp]
-                .reshape(hp // 8, 8, wp, C_PAD)
-                .transpose(0, 2, 1, 3)
-                .reshape(hp // 8, wp * 8 * C_PAD)
-                for k in range(8)
-            ]
+        p64 = jnp.pad(p, ((0, 64), (0, 0), (0, 0)))
+        stacked = (
+            jnp.stack(
+                [
+                    p64[k + 8 * d : k + 8 * d + hp]
+                    for k in range(8)
+                    for d in range(8)
+                ]
+            )
+            .reshape(64, hp // 8, 8, wp, C_PAD)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(64, hp // 8, wp * 8 * C_PAD)
         )
     else:
         p2 = p.reshape(hp_full, wp * (4 if i4 else C_PAD))
@@ -718,10 +729,10 @@ def _kernel(
 
     def dma(orig, i, s):
         # origins store y8/8 and xe/128: multiplying in-kernel lets
-        # Mosaic prove the (8, 128)-tile alignment of the slice start.
-        # y-folded maps slice folded rows directly (arbitrary start;
-        # hardware-validated, tests/probe_dma_unaligned.py)
-        row0 = orig[i, 1] if yf else orig[i, 1] * 8
+        # Mosaic prove the (8, 128)-tile alignment of the slice start
+        # (y-folded maps too: the 64-copy stack absorbs both the row
+        # and the folded-row residual, see the layout note)
+        row0 = orig[i, 1] * 8
         return pltpu.make_async_copy(
             stacked_ref.at[
                 orig[i, 0],
@@ -1280,9 +1291,10 @@ def _origins(
 ):
     """Crop origin decomposition.  Returns (ry, y8, xe, rx, in_range).
 
-    y-folded maps: y8 is the folded-row start (arbitrary integer; the
-    kernel slices it directly), rx the 2-px x residual, xe the 128-lane
-    (= 2 px) aligned lane-tile start."""
+    y-folded maps: ry is the 64-copy index (y0%8)*8 + (y0//8)%8, y8
+    the aligned folded-row start / 8 (the kernel multiplies by 8,
+    proving Mosaic's sublane alignment), rx the 2-px x residual, xe
+    the 128-lane (= 2 px) aligned lane-tile start."""
     dr, dc = crop_dims(mo)
     pad = maps.pad
     cy = jnp.round(center_px[:, 1] / map_resolution).astype(jnp.int32)
@@ -1307,6 +1319,10 @@ def _origins(
     ry = y0c % 8
     y8 = (y0c - ry) // 8  # row-major: kernel multiplies by 8
     if maps.yf:
+        # copy (k, d) holds rows [k+8d, ...) folded: d consumes the
+        # folded-row residual so the DMA start 8*(y8//8) is aligned
+        ry = ry * 8 + y8 % 8
+        y8 = y8 // 8
         rx = x0c % YF_RX
         xe = (x0c - rx) // 2  # 128-lane tiles of 64 lanes/px
     elif maps.i4:
