@@ -23,6 +23,7 @@ tiles keep the test fast while exercising identical kernel logic.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -369,3 +370,31 @@ def test_yfold_tracked_and_init_parity(setup, monkeypatch):
         _check(
             refs[:, j], gots[:, j], kf_e, kfir, f"yfold init rot {j}"
         )
+
+
+@pytest.mark.parametrize("mo", [12, 24])
+def test_yfold_mosaic_trace(setup, monkeypatch, mo):
+    """Trace the NON-interpret yfold kernel: Mosaic's bitcast legality
+    checks fire at pallas trace time, so this catches sublane-packing
+    bugs on CPU.  mo=24 regression: dr//8 = 7 crop-buffer rows broke
+    the int8->i32 bitcast ("2nd minor dim can not be perfectly packed")
+    until the buffer was padded to yf_buf_rows (multiple of 4); the
+    interpret branch rolls via f32 and never exercises the bitcast."""
+    stencil, scan, cw, _maps, centers, _costs_e, _kf_e, rng = setup
+    monkeypatch.setenv("TDR_YFOLD", "1")
+    packed, _, _, _, _, _ = _world()
+    maps_yf = ps.build_padded_maps(jnp.asarray(packed))
+    assert maps_yf.yf
+    thetas = jnp.asarray(
+        (rng.random(N) * 2 * np.pi).astype(np.float32)
+    )
+    jax.eval_shape(
+        ps.make_score_tracked(mo, 1.0, interpret=False),
+        maps_yf, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), thetas, jnp.float32(F),
+    )
+    jax.eval_shape(
+        ps.make_score_init(mo, 40, 1.0, interpret=False, sel=True),
+        maps_yf, jnp.asarray(stencil), jnp.asarray(scan), cw,
+        jnp.asarray(centers), jnp.float32(F),
+    )

@@ -191,6 +191,22 @@ def crop_cols_yf(mo: int) -> int:
     return 2 * mo + 4
 
 
+def yf_dma_rows(mo: int) -> int:
+    """Folded crop rows actually fetched per crop DMA (dr/8: the fold
+    packs 8 map rows per folded row)."""
+    return crop_dims(mo)[0] // 8
+
+
+def yf_buf_rows(mo: int) -> int:
+    """VMEM crop-buffer rows: yf_dma_rows rounded up to a multiple of
+    4 so the in-kernel int8 -> i32 bitcast (which packs 4 SUBLANES per
+    i32 row) is legal at every mo — dr//8 = 7 at mo=24 broke Mosaic
+    lowering ("the 2nd minor dim can not be perfectly packed").  The
+    pad rows are never DMA'd (uninitialized VMEM) and contract against
+    structurally-zero M columns, so they contribute exactly 0."""
+    return -(-yf_dma_rows(mo) // 4) * 4
+
+
 def trim_lanes(mo: int) -> int:
     """Contraction width (int8 lanes) actually carrying M support.
 
@@ -578,8 +594,8 @@ def _build_base_t(
         lanes = dc2 * 8 * C_PAD
         pix8 = (py // 8) * lanes + px * 8 * C_PAD + (py % 8) * C_PAD
         return _build_base_t_from_pix(
-            pix8, (dr // 8) * lanes, c, cost_cols, norm_cols, s_cols,
-            qinv, with_amax,
+            pix8, yf_buf_rows(mo) * lanes, c, cost_cols, norm_cols,
+            s_cols, qinv, with_amax,
         )
     t = trim_lanes(mo)
     pix8 = py * t + px * C_PAD
@@ -688,17 +704,18 @@ def _kernel(
     made K-bucket multi-scale tracked M builds blow past HBM."""
     dr, dc = crop_dims(mo)
     if yf:
-        rows = dr // 8
+        rows = yf_buf_rows(mo)  # VMEM rows (bitcast-legal multiple of 4)
+        rows_dma = yf_dma_rows(mo)  # folded rows actually fetched
         dc8 = crop_cols_yf(mo) * 8 * C_PAD  # lanes per folded row
         rxm = YF_RX
         rxl = 8 * C_PAD  # lanes per px
     elif i4:
-        rows = dr
+        rows = rows_dma = dr
         dc8 = crop_cols_i4(mo) * 4  # packed bytes per row
         rxm = I4_RX
         rxl = 4  # bytes per px
     else:
-        rows = dr
+        rows = rows_dma = dr
         dc8 = dc * C_PAD
         rxm = RX
         rxl = C_PAD
@@ -733,13 +750,16 @@ def _kernel(
         # (y-folded maps too: the 64-copy stack absorbs both the row
         # and the folded-row residual, see the layout note)
         row0 = orig[i, 1] * 8
+        dst = crop_buf.at[s, i]
+        if rows_dma != rows:  # yf: buffer rows are bitcast-padded
+            dst = crop_buf.at[s, i, pl.ds(0, rows_dma)]
         return pltpu.make_async_copy(
             stacked_ref.at[
                 orig[i, 0],
-                pl.ds(row0, rows),
+                pl.ds(row0, rows_dma),
                 pl.ds(orig[i, 2] * 128, dc8),
             ],
-            crop_buf.at[s, i],
+            dst,
             sems.at[s],
         )
 
@@ -779,9 +799,10 @@ def _kernel(
         # count cost more scalar-core time than the ~20% padding
         # bytes saved - 18.9 vs 18.1 ms on the K-bucket tracked
         # kernel, r4 stage profile.)
-        pltpu.make_async_copy(
-            crop_buf.at[slot], crop_buf.at[slot], sems.at[slot]
-        ).wait()
+        wait_ref = crop_buf.at[slot]
+        if rows_dma != rows:  # match the DMA'd byte count, not the
+            wait_ref = crop_buf.at[slot, :, pl.ds(0, rows_dma)]  # pad
+        pltpu.make_async_copy(wait_ref, wait_ref, sems.at[slot]).wait()
         # x-residual alignment: rotate each crop row left by rx*8 lanes
         # (wrap lands on always-zero M columns, see docstring).
         # Mosaic's dynamic lane rotate only supports 32-bit data; the
@@ -958,7 +979,7 @@ def _run_kernel(
     n_tiles = n_pad // p_tile
     dr, dc = crop_dims(mo)
     if yf:
-        rows = dr // 8
+        rows = yf_buf_rows(mo)
         lanes = crop_cols_yf(mo) * 8 * C_PAD
         k = rows * lanes
         rxm = YF_RX
