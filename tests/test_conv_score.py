@@ -221,3 +221,52 @@ def test_kf_split_matches_combined(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(k1), np.asarray(k0), rtol=1e-6, atol=1e-6
     )
+
+
+def test_conv_int8_matches_bf16(monkeypatch):
+    """TDR_CONV_INT8=1 (int8 map4 x hi/lo int8 kernel, i32 MXU
+    accumulation) vs the bf16 kf-split scorer.  The hi/lo residual
+    pair keeps cost/norm within ~1e-3 (single-plane rounding measured
+    a -4% cost bias: 39% of the all-positive cost coefficients sit
+    below half an LSB); kf counts carry value-correlated residuals
+    (~5e-4 rel: same-count cells share one rounding error), so the
+    kf<0.5 NaN gate is asserted only off the knife edge."""
+    f = 1.0
+    mo = ps.pick_crop_size(f, R)
+    packed, stencil, scan, cw, centers, thetas = _setup(seed=7)
+    maps = ps.build_padded_maps(jnp.asarray(packed))
+    assert maps.padded4d_i8 is not None
+    alive = jnp.ones(len(centers), bool)
+    thetas = (0.3 + 0.8 * np.random.default_rng(7).random(
+        len(centers))).astype(np.float32)
+    s0, ww = 3, 16
+    monkeypatch.setenv("TDR_KF_SPLIT", "1")
+    base = cs.make_conv_scorer(mo, 64, "tracked", window_w=ww)
+    n0, d0, k0 = base(
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers), jnp.asarray(thetas), f, alive,
+        jnp.asarray(s0, jnp.int32),
+    )
+    monkeypatch.setenv("TDR_CONV_INT8", "1")
+    i8 = cs.make_conv_scorer(mo, 64, "tracked", window_w=ww)
+    n1, d1, k1 = i8(
+        maps.padded3d, maps.padded4d, maps.pad, stencil, scan, cw,
+        jnp.asarray(centers), jnp.asarray(thetas), f, alive,
+        jnp.asarray(s0, jnp.int32),
+        padded4d_i8=maps.padded4d_i8, qinv=maps.qinv4d,
+    )
+    c0 = np.asarray(n0) / np.asarray(d0)
+    c1 = np.asarray(n1) / np.asarray(d1)
+    m = ~np.isnan(c0)
+    assert m.any()
+    err = np.abs(c1[m] - c0[m]) / np.maximum(np.abs(c0[m]), 1e-6)
+    assert np.median(err) < 1e-3, np.median(err)
+    assert err.max() < 1e-2, err.max()
+    np.testing.assert_allclose(
+        np.asarray(k1), np.asarray(k0), rtol=2e-3, atol=2e-3
+    )
+    off_edge = np.abs(np.asarray(k0) - 0.5) > 2e-3
+    np.testing.assert_array_equal(
+        (np.asarray(k1) < 0.5)[off_edge],
+        (np.asarray(k0) < 0.5)[off_edge],
+    )

@@ -286,8 +286,11 @@ def s2d_extent(d: int) -> int:
     return (d + 2) // F_S2D + 1
 
 
-def fold_map_s2d(padded3d: jnp.ndarray) -> jnp.ndarray:
-    """(Hp, Wp, 8) -> (ceil/4 + margin, ceil/4 + margin, 128) bf16.
+def fold_map_s2d(
+    padded3d: jnp.ndarray, out_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """(Hp, Wp, 8) -> (ceil/4 + margin, ceil/4 + margin, 128) bf16
+    (or out_dtype: the TDR_CONV_INT8 path folds the int8-quantized map).
 
     80 extra zero rows/cols cover the folded conv's read-ahead past the
     direct path's block end: at most 10 px single-chip, plus up to
@@ -299,7 +302,7 @@ def fold_map_s2d(padded3d: jnp.ndarray) -> jnp.ndarray:
     hp = ((h + f - 1) // f) * f + 80
     wp = ((w + f - 1) // f) * f + 80
     p = jnp.pad(
-        padded3d.astype(jnp.bfloat16), ((0, hp - h), (0, wp - w), (0, 0))
+        padded3d.astype(out_dtype), ((0, hp - h), (0, wp - w), (0, 0))
     )
     return (
         p.reshape(hp // f, f, wp // f, f, c)
@@ -360,6 +363,29 @@ def fold_mm() -> bool:
     (fold_kernel_s2d_mm); default stays the slice/pad/transpose fold
     until the on-chip A/B lands (repo rule: no unmeasured defaults)."""
     return os.environ.get("TDR_FOLD_MM", "0") == "1"
+
+
+def conv_int8() -> bool:
+    """TDR_CONV_INT8=1 runs the kf-split tracked cost field as an int8
+    contraction: int8-quantized folded map (the crop path's
+    quantize_channels scales) x per-column int8 kernel, i32 MXU
+    accumulation, f32 dequant.  Halves the im2col + kernel HBM traffic
+    and doubles the MXU rate of the headline step's largest matmul
+    (1.62 ms bf16 at region 128 / mo 24 / ww 16).
+
+    Precision mirrors the crop kernel's m_hilo default: every column
+    gets a hi/lo int8 residual pair (effective ~16-bit).  A single
+    plane is NOT enough here - the windowed cost columns are
+    all-positive with ~39% of their nonzero coefficients below half an
+    LSB, so single-plane rounding zeroes them and biases cost -4%
+    (measured, tests/test_conv_score.py::test_conv_int8_matches_bf16
+    guards it).  Doubling the columns keeps the matmul int8-dense; the
+    step's 1.62 ms bf16 field is im2col-traffic-bound (~7.5% MXU
+    efficiency), so halving the patch bytes is where the win lives.
+    Default OFF until the on-chip A/B lands (repo rule: no unmeasured
+    defaults); requires the kf-split layout, so the init and
+    full-window kernels stay bf16."""
+    return os.environ.get("TDR_CONV_INT8", "0") == "1"
 
 
 def kf_split() -> bool:
@@ -533,6 +559,104 @@ def cost_field_s2d_split(
 @functools.partial(
     jax.jit, static_argnames=("mo", "region", "s_out")
 )
+def cost_field_s2d_split_i8(
+    map4_i8: jnp.ndarray,
+    kernel: jnp.ndarray,
+    qinv: jnp.ndarray,
+    origin_yx: jnp.ndarray,
+    mo: int,
+    region: int,
+    s_out: int,
+):
+    """int8 variant of cost_field_s2d_split (TDR_CONV_INT8=1).
+
+    map4_i8 holds the quantize_channels int8 map (value ~ int * qinv[c],
+    folded with the channel scales intact), so absorbing qinv into the
+    bf16 kernel per input channel and re-quantizing each OUTPUT column
+    to int8 makes the whole contraction int8 x int8 -> i32 (probe
+    validated hardware-exact: tests/probe_int8_mm.py), dequantized by
+    per-column scales.  Every column gets a hi/lo residual pair
+    (conv_int8 docstring: single-plane rounding zeroes the 39% of cost
+    coefficients below half an LSB, a -4% bias), concatenated [hi | lo]
+    along the column axis so the fold chunks stay 32-aligned.
+    kf column: its own hi/lo pair -> (DYe, DXe, 128, 32) K4.
+
+    Same return contract as cost_field_s2d_split."""
+    dr, dc = conv_dims(mo)
+    sm = s_out - 1
+    assert (sm % 32) == 0, sm
+    kq = kernel.astype(jnp.float32) * qinv[None, None, :, None]
+    km = kq[..., :sm]
+    amax = jnp.maximum(jnp.max(jnp.abs(km), axis=(0, 1, 2)), 1e-30)
+    s_hi = amax / 127.0  # (sm,)
+    hi = jnp.clip(jnp.round(km / s_hi), -127, 127)
+    s_lo = s_hi / 254.0
+    lo = jnp.clip(
+        jnp.round((km - hi * s_hi) / s_lo), -127, 127
+    )
+    k_i8 = jnp.concatenate([hi, lo], axis=3).astype(jnp.int8)
+    kf = kq[..., sm]
+    akf = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-30)
+    skf_hi = akf / 127.0
+    kf_hi = jnp.clip(jnp.round(kf / skf_hi), -127, 127)
+    skf_lo = skf_hi / 254.0
+    kf_lo = jnp.clip(
+        jnp.round((kf - kf_hi * skf_hi) / skf_lo), -127, 127
+    )
+    kf2 = jnp.stack([kf_hi, kf_lo], axis=-1).astype(jnp.int8)
+    k4 = fold_kernel_s2d(k_i8)  # (dye, dxe, 128, 16*2*sm) int8
+    k4_kf = fold_kernel_s2d(kf2)  # (dye, dxe, 128, 32) int8
+    f = F_S2D
+    dye, dxe = s2d_extent(dr), s2d_extent(dc)
+    nyb, nxb = region // f + 1, region // f + 1
+    y0 = origin_yx[0] - dr // 2
+    x0 = origin_yx[1] - dc // 2
+    ys4, roy = y0 // f, y0 % f
+    xs4, rox = x0 // f, x0 % f
+    block = jax.lax.dynamic_slice(
+        map4_i8,
+        (ys4, xs4, 0),
+        (nyb + dye - 1, nxb + dxe - 1, f * f * C_PAD),
+    )
+    pat = jnp.stack(
+        [
+            jax.lax.slice(
+                block, (dy, dx, 0),
+                (dy + nyb, dx + nxb, f * f * C_PAD),
+            )
+            for dy in range(dye)
+            for dx in range(dxe)
+        ],
+        axis=2,
+    ).reshape(nyb * nxb, dye * dxe * f * f * C_PAD)
+    acc = jax.lax.dot_general(
+        pat,
+        k4.reshape(dye * dxe * f * f * C_PAD, -1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # (nyb*nxb, 16*2*sm): col = p*2sm + j*sm + s
+    a2 = acc.reshape(-1, 16, 2, sm)
+    out = (a2[:, :, 0] * s_hi + a2[:, :, 1] * s_lo).reshape(
+        -1, 16 * sm
+    )
+    acc_kf = jax.lax.dot_general(
+        pat,
+        k4_kf.reshape(dye * dxe * f * f * C_PAD, -1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # (nyb*nxb, 32): col = phase*2 + {hi, lo}
+    out_kf = acc_kf[:, 0::2] * skf_hi + acc_kf[:, 1::2] * skf_lo
+    return (
+        out.reshape(nyb, nxb, -1),
+        out_kf.reshape(nyb, nxb, -1),
+        roy,
+        rox,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mo", "region", "s_out")
+)
 def cost_field_s2d(
     map4: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -620,9 +744,11 @@ def make_conv_scorer(
     use_split = (
         kf_split() and mode == "tracked" and (2 * window_w) % 32 == 0
     )
+    use_i8 = use_split and conv_int8()
 
     def score(padded3d, padded4d, pad, stencil, scan, class_weights,
-              center_px, theta, f, alive, s0=0):
+              center_px, theta, f, alive, s0=0,
+              padded4d_i8=None, qinv=None):
         th, r, _ = stencil.shape
         cy = jnp.round(center_px[:, 1] / map_resolution).astype(
             jnp.int32
@@ -653,10 +779,16 @@ def make_conv_scorer(
                 window_w, s0,
             )
             if use_split:
-                out4, out_kf, roy, rox = cost_field_s2d_split(
-                    padded4d, kernel, jnp.stack([oy, ox]), mo,
-                    region, s_out,
-                )
+                if use_i8 and padded4d_i8 is not None:
+                    out4, out_kf, roy, rox = cost_field_s2d_split_i8(
+                        padded4d_i8, kernel, qinv,
+                        jnp.stack([oy, ox]), mo, region, s_out,
+                    )
+                else:
+                    out4, out_kf, roy, rox = cost_field_s2d_split(
+                        padded4d, kernel, jnp.stack([oy, ox]), mo,
+                        region, s_out,
+                    )
                 sm = s_out - 1  # 2*window_w main columns per phase
                 nxb = region // F_S2D + 1
                 jy = iy + roy

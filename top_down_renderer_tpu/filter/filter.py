@@ -355,6 +355,7 @@ def make_update_step_fast(
                 maps.padded3d, maps.padded4d, maps.pad, stencil,
                 scan, class_weights, p.pose_px(), p.theta, f,
                 p.alive, s0,
+                padded4d_i8=maps.padded4d_i8, qinv=maps.qinv4d,
             )
         else:
             num, den, kf = ps.score_tracked_fast_mo(

@@ -294,6 +294,8 @@ class PaddedMaps:
     padded3d: jnp.ndarray  # (Hp, Wp, 8) bf16 (conv_score path)
     padded4d: jnp.ndarray  # (~Hp/4, ~Wp/4, 128) bf16 s2d phase fold
     qinv: jnp.ndarray = None  # (8,) f32 per-channel dequant multipliers
+    padded4d_i8: jnp.ndarray = None  # int8 s2d fold (TDR_CONV_INT8)
+    qinv4d: jnp.ndarray = None  # (8,) f32 scales for padded4d_i8
     hp: int = struct.field(pytree_node=False, default=0)
     wp: int = struct.field(pytree_node=False, default=0)
     pad: int = struct.field(pytree_node=False, default=0)
@@ -380,9 +382,20 @@ def build_padded_maps(packed: jnp.ndarray, pad: int = MAP_PAD) -> PaddedMaps:
     pb = jnp.pad(
         packed.astype(jnp.bfloat16), ((pad, pad + 8), (pad, pad), (0, 0))
     )
+    # int8 s2d fold for the TDR_CONV_INT8 cost field: reuse the crop
+    # stack's quantization (i4 nibble-packs pq, so quantize afresh)
+    if i4:
+        pq8, qinv8 = quantize_channels(packed)
+        p8 = jnp.pad(pq8, ((pad, pad + 8), (pad, pad), (0, 0)))
+    else:
+        pq8, qinv8 = pq, qinv
+        p8 = p
     return PaddedMaps(
         stacked=stacked, padded3d=pb[:hp], padded4d=fold_map_s2d(pb[:hp]),
-        qinv=qinv, hp=int(hp), wp=int(wp), pad=int(pad), yf=yf, i4=i4,
+        qinv=qinv,
+        padded4d_i8=fold_map_s2d(p8[:hp], jnp.int8),
+        qinv4d=qinv8,
+        hp=int(hp), wp=int(wp), pad=int(pad), yf=yf, i4=i4,
     )
 
 
