@@ -372,7 +372,7 @@ def test_yfold_tracked_and_init_parity(setup, monkeypatch):
         )
 
 
-@pytest.mark.parametrize("mo", [12, 24])
+@pytest.mark.parametrize("mo", list(ps._MO_BUCKETS))
 def test_yfold_mosaic_trace(setup, monkeypatch, mo):
     """Trace the NON-interpret yfold kernel: Mosaic's bitcast legality
     checks fire at pallas trace time, so this catches sublane-packing
